@@ -1,0 +1,160 @@
+"""BN-Inception (Inception-v2 / "Batch Normalization" paper) tower in Flax.
+
+The standard public Inception-BN layer graph (the same one the reference
+consumes from the ``pretrainedmodels`` package; cf. reference
+core/models/bn_inception.py:38-107 and the per-layer spec visible in
+core/models/bn_inception_audio.py):
+
+    stem: 7x7/2 conv(64) -> maxpool/2 -> 1x1 conv(64) -> 3x3 conv(192) -> maxpool/2
+    inception 3a 3b | 3c(/2) | 4a 4b 4c 4d | 4e(/2) | 5a 5b -> global avg pool
+
+Each block concatenates four branches (1x1; 1x1->3x3; 1x1->3x3->3x3;
+pool->1x1 projection); reduction blocks (3c, 4e) drop the 1x1 branch and use
+a stride-2 max-pool passthrough. All pools are torch ``ceil_mode`` pools
+(ops/pooling.py).
+
+TPU-native: NHWC activations, fp32 params with configurable compute dtype
+(bfloat16 on TPU), and torch-exact conv/BN/pool semantics so converted
+reference ``.pth`` weights reproduce reference logits at fp32.
+
+Feature head variants (reference bn_inception.py:16-35):
+* default: global average pool -> (B, 1024);
+* ``freq_pool_only`` (audio + attention): pool the frequency axis only,
+  keeping time -> (B, T, 1024).
+
+The alternative audio stem (reference bn_inception_audio.py:11-23) replaces
+the 7x7 with two parallel (3,1)/(1,3) stride-2 convs concatenated to 64ch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.pooling import avg_pool2d, global_avg_pool, max_pool2d
+from .layers import ConvBN
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class InceptionSpec:
+    """Channel widths of one Inception-BN block."""
+
+    b1x1: int  # 1x1 branch (0 = reduction block, branch absent)
+    r3x3: int  # 3x3 branch reduce
+    b3x3: int  # 3x3 branch out
+    rd3x3: int  # double-3x3 branch reduce
+    d3x3: int  # double-3x3 branch out (both convs)
+    proj: int  # pool-projection out (0 = passthrough max pool)
+    pool: str  # "avg" or "max" pool branch
+    stride: int = 1
+
+
+# Standard Inception-BN configuration. Output channels:
+# 3a 256, 3b 320, 3c 576, 4a-4b 576, 4c-4d 608, 4e 1056, 5a-5b 1024.
+BN_INCEPTION_BLOCKS: Tuple[Tuple[str, InceptionSpec], ...] = (
+    ("inception_3a", InceptionSpec(64, 64, 64, 64, 96, 32, "avg")),
+    ("inception_3b", InceptionSpec(64, 64, 96, 64, 96, 64, "avg")),
+    ("inception_3c", InceptionSpec(0, 128, 160, 64, 96, 0, "max", stride=2)),
+    ("inception_4a", InceptionSpec(224, 64, 96, 96, 128, 128, "avg")),
+    ("inception_4b", InceptionSpec(192, 96, 128, 96, 128, 128, "avg")),
+    ("inception_4c", InceptionSpec(160, 128, 160, 128, 160, 128, "avg")),
+    ("inception_4d", InceptionSpec(96, 128, 192, 160, 192, 128, "avg")),
+    ("inception_4e", InceptionSpec(0, 128, 192, 192, 256, 0, "max", stride=2)),
+    ("inception_5a", InceptionSpec(352, 192, 320, 160, 224, 128, "avg")),
+    ("inception_5b", InceptionSpec(352, 192, 320, 192, 224, 128, "max")),
+)
+
+FEATURE_SIZE = 1024
+
+
+class InceptionBlock(nn.Module):
+    spec: InceptionSpec
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, frozen_stats: bool = False
+    ) -> jnp.ndarray:
+        s = self.spec
+        kw = dict(dtype=self.dtype)
+        bn_kw = dict(train=train, frozen_stats=frozen_stats)
+        branches = []
+
+        if s.b1x1:
+            branches.append(ConvBN(s.b1x1, 1, name="1x1", **kw)(x, **bn_kw))
+
+        y = ConvBN(s.r3x3, 1, name="3x3_reduce", **kw)(x, **bn_kw)
+        branches.append(
+            ConvBN(s.b3x3, 3, stride=s.stride, padding=1, name="3x3", **kw)(y, **bn_kw)
+        )
+
+        y = ConvBN(s.rd3x3, 1, name="double_3x3_reduce", **kw)(x, **bn_kw)
+        y = ConvBN(s.d3x3, 3, padding=1, name="double_3x3_1", **kw)(y, **bn_kw)
+        branches.append(
+            ConvBN(s.d3x3, 3, stride=s.stride, padding=1, name="double_3x3_2", **kw)(
+                y, **bn_kw
+            )
+        )
+
+        if s.proj:
+            if s.pool == "avg":
+                pooled = avg_pool2d(x, 3, 1, 1, ceil_mode=True, count_include_pad=True)
+            else:
+                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True)
+            branches.append(ConvBN(s.proj, 1, name="pool_proj", **kw)(pooled, **bn_kw))
+        else:
+            branches.append(max_pool2d(x, 3, s.stride, 0, ceil_mode=True))
+
+        return jnp.concatenate(branches, axis=-1)
+
+
+class BNInception(nn.Module):
+    """BN-Inception feature tower.
+
+    Args:
+      freq_pool_only: pool only the frequency (H) axis at the head, keeping
+        the temporal axis — used by the audio tower under attention.
+      audio_stem: use the two-branch (3,1)/(1,3) stem variant instead of the
+        7x7 stem.
+      partial_bn: treat every BN except the stem's first as frozen-stats
+        during training is NOT the reference behavior — the reference only
+        stops gradients to their affine params (model.py:170-176) while stats
+        keep updating; gradient masking happens in the optimizer
+        (models/builder.py). This flag is therefore unused here and the
+        tower always updates stats when ``train=True``.
+    """
+
+    freq_pool_only: bool = False
+    audio_stem: bool = False
+    dtype: Dtype = jnp.float32
+
+    feature_size: int = FEATURE_SIZE
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype)
+        bn_kw = dict(train=train)
+
+        if self.audio_stem:
+            # Names follow the reference's (kernel shapes included — the
+            # reference's "1x3" layer really has a (3,1) kernel and vice
+            # versa, bn_inception_audio.py:11-19); concat order (1x3, 3x1).
+            a = ConvBN(32, (3, 1), 2, (1, 0), name="conv1_1x3_s2", **kw)(x, **bn_kw)
+            b = ConvBN(32, (1, 3), 2, (0, 1), name="conv1_3x1_s2", **kw)(x, **bn_kw)
+            y = jnp.concatenate([a, b], axis=-1)
+        else:
+            y = ConvBN(64, 7, 2, 3, name="conv1_7x7_s2", **kw)(x, **bn_kw)
+        y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
+        y = ConvBN(64, 1, name="conv2_3x3_reduce", **kw)(y, **bn_kw)
+        y = ConvBN(192, 3, padding=1, name="conv2_3x3", **kw)(y, **bn_kw)
+        y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
+
+        for name, spec in BN_INCEPTION_BLOCKS:
+            y = InceptionBlock(spec, name=name, **kw)(y, **bn_kw)
+
+        return global_avg_pool(y, freq_only=self.freq_pool_only)

@@ -1,0 +1,202 @@
+"""Torch-semantics building-block layers in Flax (NHWC, TPU layouts).
+
+These provide exact PyTorch numerical behavior (needed for fp32 logit parity
+with the reference and for consuming converted .pth weights) while keeping
+TPU-native data layout: NHWC activations, HWIO kernels, bf16 compute with
+fp32 parameters and statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+IntPair = Union[int, Tuple[int, int]]
+Dtype = Any
+
+
+def _pair(v: IntPair) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
+
+
+class TorchConv(nn.Module):
+    """nn.Conv2d equivalent: explicit symmetric padding, floor output size.
+
+    Kernel is HWIO; converted torch weights (OIHW) are transposed by
+    models/convert.py. Parameters stay fp32; compute runs in ``dtype``.
+    """
+
+    features: int
+    kernel_size: IntPair
+    stride: IntPair = 1
+    padding: IntPair = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = _pair(self.kernel_size)
+        s = _pair(self.stride)
+        p = _pair(self.padding)
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (k[0], k[1], in_features, self.features),
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=s,
+            padding=((p[0], p[0]), (p[1], p[1])),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32
+            if self.dtype == jnp.float32
+            else None,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y.astype(self.dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """nn.BatchNorm2d-equivalent over the channel (last) axis.
+
+    Matches torch exactly:
+    * train: normalize with biased batch variance; running stats updated as
+      ``(1-m)*running + m*batch`` with the *unbiased* batch variance;
+    * eval: normalize with running stats.
+
+    ``frozen_stats=True`` keeps using running statistics even in training
+    (torch modules put in ``.eval()``). Statistics and affine parameters are
+    fp32; the normalized output is cast back to ``dtype``.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        use_running_average: bool = True,
+        frozen_stats: bool = False,
+    ) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+
+        if use_running_average or frozen_stats:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            n = 1
+            for axis in reduce_axes:
+                n *= x.shape[axis]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
+class ConvBN(nn.Module):
+    """Conv + BN + optional ReLU — the BN-Inception unit cell."""
+
+    features: int
+    kernel_size: IntPair
+    stride: IntPair = 1
+    padding: IntPair = 0
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, frozen_stats: bool = False
+    ) -> jnp.ndarray:
+        y = TorchConv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        y = TorchBatchNorm(dtype=self.dtype, name="bn")(
+            y, use_running_average=not train, frozen_stats=frozen_stats
+        )
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear equivalent; kernel (in, out) — torch (out, in) transposed on
+    conversion. Supports the reference's normal(0, std) init for heads."""
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        return (y + bias.astype(y.dtype)).astype(self.dtype)
+
+
+class TorchGroupNorm(nn.Module):
+    """nn.GroupNorm over the channel (last) axis of (B, T, C) or (B, C)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        assert features % self.num_groups == 0
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        # Normalize per (batch, group) over every spatial position and the
+        # group's channels, like torch GroupNorm on (B, C, *spatial).
+        b = x.shape[0]
+        flat = xf.reshape(b, -1, self.num_groups, features // self.num_groups)
+        flat = jnp.moveaxis(flat, 2, 1)  # (B, G, S, C/G)
+        mean = jnp.mean(flat, axis=(2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(flat - mean), axis=(2, 3), keepdims=True)
+        normed = (flat - mean) * jax.lax.rsqrt(var + self.epsilon)
+        normed = jnp.moveaxis(normed, 1, 2).reshape(xf.shape)
+        return (normed * scale + bias).astype(self.dtype)
+
+
+def normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init

@@ -1,0 +1,177 @@
+"""Losses: per-head classification + attention auxiliaries, as pure functions.
+
+Reproduces the reference loss surface (core/models/model_builder.py:16-22,
+core/models/model.py:264-334, core/models/contrast_loss.py):
+
+* classification: crossentropy / nll / kl / mse / smoothl1 per head, summed;
+* prior loss on attention weights (KL against a gaussian/uniform/loud prior,
+  "batchmean"-reduced, applied to log-weights);
+* contrast loss: sum(off-peak) - sum(peak) under a detached threshold mask;
+* entropy of the attention distribution, with a train-time early-stop
+  threshold;
+* all three gated to 0 before ``decay_step`` epochs and scaled by their decay
+  multipliers after (model.py:300-332).
+
+Everything is jit-compatible: epoch enters as a traced scalar and gates
+resolve via ``jnp.where``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.CrossEntropyLoss (mean reduction)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return -jnp.mean(picked)
+
+
+def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.NLLLoss (mean reduction) — expects log-probabilities."""
+    picked = jnp.take_along_axis(
+        log_probs.astype(jnp.float32), labels[:, None], axis=-1
+    )[:, 0]
+    return -jnp.mean(picked)
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return jnp.mean(jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta))
+
+
+def kl_div(
+    log_pred: jnp.ndarray, target: jnp.ndarray, reduction: str = "batchmean"
+) -> jnp.ndarray:
+    """torch.nn.KLDivLoss: input is log-probs, target is probs."""
+    target = target.astype(jnp.float32)
+    log_pred = log_pred.astype(jnp.float32)
+    pointwise = target * (jnp.log(jnp.clip(target, 1e-30)) - log_pred)
+    pointwise = jnp.where(target > 0, pointwise, 0.0)
+    if reduction == "batchmean":
+        return jnp.sum(pointwise) / log_pred.shape[0]
+    if reduction == "sum":
+        return jnp.sum(pointwise)
+    return jnp.mean(pointwise)
+
+
+CLASSIFICATION_LOSSES = {
+    "crossentropy": cross_entropy,
+    "nll": nll_loss,
+    "kl": None,  # handled via kl_div with log-input semantics
+    "mse": mse_loss,
+    "smoothl1": smooth_l1_loss,
+}
+
+
+def contrast_loss(
+    weights: jnp.ndarray, threshold: float = 0.1, reduction: str = "batchmean"
+) -> jnp.ndarray:
+    """sum(off-peak) - sum(peak) per row under a detached binary mask
+    (reference contrast_loss.py:15-25)."""
+    w = weights.astype(jnp.float32)
+    mask = jax.lax.stop_gradient((w >= threshold).astype(jnp.float32))
+    loss = (w * (1.0 - mask) - w * mask).sum(axis=1)
+    if reduction in ("mean", "batchmean"):
+        return loss.mean()
+    return loss.sum()
+
+
+def attention_entropy(weights: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Mean entropy of the (renormalized) attention rows — matches
+    torch.distributions.Categorical(probs=wts + eps).entropy().mean()
+    (model.py:324), which normalizes probs by their sum."""
+    p = weights.astype(jnp.float32) + eps
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    ent = -jnp.sum(p * jnp.log(p), axis=-1)
+    return ent.mean()
+
+
+def prior_loss(
+    weights: jnp.ndarray,
+    prior: jnp.ndarray,
+    wt_loss: str = "kl",
+    reduction: str = "batchmean",
+) -> jnp.ndarray:
+    """Prior supervision of the attention weights (model.py:312-319).
+
+    For "kl", the reference feeds log(wts + 1e-7) as the (log-)input and the
+    prior as the target.
+    """
+    if wt_loss == "kl":
+        return kl_div(jnp.log(weights.astype(jnp.float32) + 1e-7), prior, reduction)
+    if wt_loss == "mse":
+        return mse_loss(weights, prior)
+    if wt_loss == "smoothl1":
+        return smooth_l1_loss(weights, prior)
+    raise ValueError(f"Unsupported wt_loss {wt_loss!r}")
+
+
+def tbn_loss(
+    preds: Mapping[str, jnp.ndarray],
+    targets: Mapping[str, Any],
+    cfg,
+    epoch: jnp.ndarray | int = 0,
+    train: bool = True,
+    attention_weights: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Total TBN loss dict (keys mirror the reference: per-head, all_class,
+    prior/contrast/entropy, total)."""
+    att_cfg = cfg.model.attention
+    loss_fn = cross_entropy if cfg.model.loss_fn == "crossentropy" else (
+        CLASSIFICATION_LOSSES.get(cfg.model.loss_fn) or cross_entropy
+    )
+
+    loss: Dict[str, jnp.ndarray] = {}
+    all_class = 0.0
+    for key, labels in targets["class"].items():
+        loss[key] = loss_fn(preds[key], labels)
+        all_class = all_class + loss[key]
+    loss["all_class"] = all_class
+    total = all_class
+
+    use_attention = att_cfg.enable and not att_cfg.use_fixed
+    if use_attention and attention_weights is not None:
+        epoch = jnp.asarray(epoch)
+        # aux losses switch on at epoch decay_step (1-indexed, model.py:301)
+        gate = jnp.where(
+            jnp.logical_and(train, epoch + 1 < att_cfg.decay_step), 0.0, 1.0
+        )
+        wts = attention_weights
+        if wts.ndim == 3:  # (B*, 1, S) from MHA
+            wts = wts[:, 0, :]
+
+        if att_cfg.use_prior:
+            prior = targets["weights"].reshape(wts.shape[0], -1)
+            loss["prior"] = prior_loss(
+                wts, prior, att_cfg.wt_loss, att_cfg.loss_reduction
+            )
+            total = total + gate * att_cfg.wt_decay * loss["prior"]
+        if att_cfg.use_contrast:
+            loss["contrast"] = contrast_loss(
+                wts, att_cfg.contrast_thresh, att_cfg.loss_reduction
+            )
+            total = total + gate * att_cfg.contrast_decay * loss["contrast"]
+        if att_cfg.use_entropy:
+            loss["entropy"] = attention_entropy(wts)
+            # early stop: once entropy sinks below the threshold, drop the term
+            ent_gate = jnp.where(
+                jnp.logical_and(
+                    train,
+                    jnp.logical_and(gate > 0, loss["entropy"] < att_cfg.entropy_thresh),
+                ),
+                0.0,
+                1.0,
+            )
+            total = total + gate * ent_gate * att_cfg.entropy_decay * loss["entropy"]
+
+    loss["total"] = total
+    return loss

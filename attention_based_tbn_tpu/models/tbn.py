@@ -1,0 +1,285 @@
+"""The Temporal Binding Network, assembled as a pure Flax module.
+
+Forward semantics mirror reference core/models/model.py:205-262:
+
+* per-modality towers run on the (batch * segments) folded batch;
+* the audio feature is either (a) zeroed batch-wide with one scalar draw when
+  audio dropout is active (model.py:216-222), (b) reduced with fixed prior
+  weights (model.py:224-228), or (c) attended with the first modality's
+  feature as query via MHA / unimodal / prototype attention
+  (model.py:229-241);
+* at eval, if visual streams carry more crops than audio (10-crop), the
+  audio feature is tiled to match (model.py:243-248);
+* features concat -> Fusion(512) when multimodal -> per-class-type heads ->
+  segment consensus = mean over segments (model.py:178-203, 257).
+
+TPU-native: the audio tower input may be the raw waveform window — the
+log-spectrogram (ops/spectrogram.py) then runs *inside* the jitted forward as
+MXU matmuls, so the host never materializes spectrogram images.
+
+Layouts: RGB (B, N, H, W, 3); Flow (B, N, H, W, 2*win); Audio waveform
+(B, N, L) or spectrogram (B, N, F, T, 1); fixed/prior weights (B, N, W, 1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.priors import attention_window_size
+from ..ops.spectrogram import spectrogram
+from .attention import (
+    MultiheadAttention,
+    PositionalEncoding,
+    PrototypeAttention,
+    UniModalAttention,
+)
+from .bn_inception import BNInception
+from .heads import Classifier, Fusion
+from .resnet import ResNet
+from .vgg import VGG
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class TBNSpec:
+    """Static (hashable) model configuration distilled from the config tree."""
+
+    modality: Tuple[str, ...] = ("RGB", "Flow", "Audio")
+    arch: str = "bninception"
+    num_classes: Tuple[Tuple[str, int], ...] = (("verb", 125), ("noun", 352))
+    attention_enable: bool = True
+    attention_type: str = "mha"
+    use_pe: bool = True
+    use_fixed: bool = False
+    use_gumbel: bool = True
+    attn_heads: int = 4
+    attn_dropout: float = 0.5
+    attn_win: int = 13
+    audio_dropout: float = 0.0
+    fusion_dropout: float = 0.5
+    resnet_depth: int = 101
+    vgg_type: str = "16"
+    flow_win_length: int = 5
+    spec_type: str = "stft"
+    sampling_rate: int = 24000
+    audio_from_waveform: bool = True
+    compute_dtype: str = "float32"
+
+    @classmethod
+    def from_config(cls, cfg, modality) -> "TBNSpec":
+        att = cfg.model.attention
+        return cls(
+            modality=tuple(modality),
+            arch=cfg.model.arch,
+            num_classes=tuple(cfg.model.num_classes.items()),
+            attention_enable=bool(att.enable),
+            attention_type=att.type,
+            use_pe=bool(att.use_pe),
+            use_fixed=bool(att.use_fixed),
+            use_gumbel=bool(att.use_gumbel),
+            attn_heads=int(att.attn_heads),
+            attn_dropout=float(att.attn_dropout),
+            attn_win=attention_window_size(cfg.data.audio.audio_length),
+            audio_dropout=float(cfg.data.audio.dropout),
+            fusion_dropout=float(cfg.model.fusion_dropout),
+            resnet_depth=int(cfg.model.resnet.depth),
+            vgg_type=str(cfg.model.vgg.type),
+            flow_win_length=int(cfg.data.flow.win_length),
+            spec_type=cfg.data.audio.spec_type,
+            sampling_rate=int(cfg.data.audio.sampling_rate),
+            compute_dtype=cfg.get_path("tpu.compute_dtype", "float32") or "float32",
+        )
+
+    @property
+    def multimodal(self) -> bool:
+        return len(self.modality) > 1
+
+    @property
+    def audio_attends(self) -> bool:
+        """Audio tower keeps its temporal axis (freq-only pooling)."""
+        return "Audio" in self.modality and self.attention_enable
+
+    def validate(self) -> None:
+        if (
+            self.attention_enable
+            and not self.use_fixed
+            and self.modality == ("Audio",)
+        ):
+            raise ValueError(
+                "learned attention needs a visual query modality; "
+                "audio-only supports attention.use_fixed only"
+            )
+        if self.attention_enable and self.attention_type not in (
+            "mha",
+            "unimodal",
+            "proto",
+        ):
+            raise ValueError(f"Unknown attention type {self.attention_type!r}")
+
+
+class TBNModel(nn.Module):
+    spec: TBNSpec
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
+
+    def feature_size(self, modality: str) -> int:
+        if self.spec.arch == "bninception":
+            return 1024
+        if self.spec.arch == "resnet":
+            from .resnet import RESNET_CONFIGS
+
+            return 512 * RESNET_CONFIGS[self.spec.resnet_depth][2]
+        return 4096
+
+    def _make_tower(self, modality: str) -> nn.Module:
+        name = f"Base_{modality}"
+        dtype = self.dtype
+        if self.spec.arch == "bninception":
+            return BNInception(
+                freq_pool_only=(modality == "Audio" and self.spec.audio_attends),
+                dtype=dtype,
+                name=name,
+            )
+        if self.spec.arch == "resnet":
+            return ResNet(depth=self.spec.resnet_depth, dtype=dtype, name=name)
+        if self.spec.arch == "vgg":
+            return VGG(vgg_type=self.spec.vgg_type, dtype=dtype, name=name)
+        raise ValueError(f"Unknown arch {self.spec.arch!r}")
+
+    @nn.compact
+    def __call__(
+        self, batch: Mapping[str, jnp.ndarray], train: bool = False
+    ) -> Dict[str, jnp.ndarray]:
+        spec = self.spec
+        spec.validate()
+        dtype = self.dtype
+        features = []
+        att_wts = None
+        n_consensus = None  # segments (x crops) for score aggregation
+
+        for m_no, m in enumerate(spec.modality):
+            x = batch[m]
+            if m == "Audio" and spec.audio_from_waveform and x.ndim == 3:
+                b, n, length = x.shape
+                spec_img = spectrogram(
+                    x.reshape(b * n, length),
+                    spec_type=spec.spec_type,
+                    sr=spec.sampling_rate,
+                    compute_dtype=dtype,
+                )
+                x = spec_img[..., None]  # (B*N, F, T, 1)
+            else:
+                b, n = x.shape[0], x.shape[1]
+                x = x.reshape((b * n,) + x.shape[2:])
+
+            tower = self._make_tower(m)
+            feature = tower(x.astype(dtype), train=train)
+
+            if m == "Audio":
+                feature = self._audio_feature(batch, features, feature, b, n, train)
+                if isinstance(feature, tuple):
+                    feature, att_wts = feature
+                # 10-crop eval: visual streams may carry more crops
+                if m_no > 0 and features and features[0].shape[0] > feature.shape[0]:
+                    reps = features[0].shape[0] // feature.shape[0]
+                    feature = jnp.tile(feature, (reps, 1))
+
+            features.append(feature)
+
+        # Consensus count follows the first modality's stream count — with
+        # 10-crop eval the audio feature was tiled up to match
+        # (reference model.py:243-248 adjusts n the same way).
+        n_consensus = features[0].shape[0] // b
+
+        fused = jnp.concatenate(features, axis=-1)
+        if spec.multimodal:
+            fused = Fusion(512, dropout=spec.fusion_dropout, dtype=dtype, name="fusion")(
+                fused, train=train
+            )
+        logits = Classifier(dict(spec.num_classes), dtype=dtype, name="classifier")(
+            fused
+        )
+
+        out: Dict[str, jnp.ndarray] = {}
+        for key, value in logits.items():
+            out[key] = (
+                value.reshape(b, n_consensus, -1).astype(jnp.float32).mean(axis=1)
+            )
+
+        if spec.attention_enable and not spec.use_fixed and att_wts is not None:
+            out["weights"] = att_wts
+        return out
+
+    def _audio_feature(self, batch, features, feature, b, n, train):
+        """Audio post-tower path: dropout / fixed weighting / attention."""
+        spec = self.spec
+        dtype = self.dtype
+
+        if train and spec.multimodal and spec.audio_dropout > 0:
+            # One scalar draw per step zeroes the whole audio feature
+            # (reference model.py:216-222 draws np.random.uniform() > p; the
+            # data-dependent branch becomes a traced select here).
+            u = jax.random.uniform(self.make_rng("audio_dropout"), ())
+            drop = u > spec.audio_dropout
+            attended = self._attend(batch, features, feature, b, n, train)
+            if isinstance(attended, tuple):
+                attended, att_wts = attended
+                return jnp.where(drop, jnp.zeros_like(attended), attended), att_wts
+            return jnp.where(drop, jnp.zeros_like(attended), attended)
+
+        return self._attend(batch, features, feature, b, n, train)
+
+    def _attend(self, batch, features, feature, b, n, train):
+        spec = self.spec
+        dtype = self.dtype
+
+        if not spec.attention_enable:
+            return feature  # already globally pooled (B*N, C)
+
+        if spec.use_fixed:
+            # feature (B*N, T, C); weights (B, N, W, 1) -> (B*N, W)
+            weights = batch["weights"].reshape(feature.shape[0], -1).astype(dtype)
+            return jnp.einsum(
+                "btc,bt->bc", feature, weights, preferred_element_type=jnp.float32
+            ).astype(dtype)
+
+        query = features[0]
+        if spec.attention_type == "mha":
+            seq = PositionalEncoding(
+                dim_size=10,
+                max_len=spec.attn_win,
+                out_features=1024,
+                dtype=dtype,
+                name="pe",
+            )(feature)
+            out, wts = MultiheadAttention(
+                embed_dim=1024,
+                num_heads=spec.attn_heads,
+                dropout_rate=spec.attn_dropout,
+                dtype=dtype,
+                name="attention_layer",
+            )(query[:, None, :], seq, seq, train=train)
+            return out[:, 0, :], wts  # (B*N, C), (B*N, 1, S)
+        if spec.attention_type == "unimodal":
+            return UniModalAttention(
+                win_size=spec.attn_win,
+                use_gumbel=spec.use_gumbel,
+                dtype=dtype,
+                name="attention_layer",
+            )(query, feature, train=train)
+        if spec.attention_type == "proto":
+            return PrototypeAttention(
+                win_size=spec.attn_win,
+                use_gumbel=spec.use_gumbel,
+                dtype=dtype,
+                name="attention_layer",
+            )(query, feature, train=train)
+        raise ValueError(f"Unknown attention type {spec.attention_type!r}")

@@ -1,0 +1,133 @@
+"""Pooling ops with PyTorch semantics on NHWC tensors.
+
+BN-Inception depends on torch's ``ceil_mode=True`` pooling (reference
+core/models/bn_inception_audio.py:21-33 and the pretrainedmodels tower used
+in core/models/bn_inception.py): output size ``ceil((H + 2p - k)/s) + 1``,
+with the extra torch rule that a window starting entirely inside the right
+padding is dropped. XLA's reduce_window expresses this exactly once the right
+amount of asymmetric padding is computed — which is what this module does.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IntPair = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntPair) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
+
+
+def _out_size(size: int, k: int, s: int, p: int, ceil_mode: bool) -> int:
+    if ceil_mode:
+        out = -(-(size + 2 * p - k) // s) + 1  # ceil div
+        # torch drops the last window if it starts in the right padding
+        if (out - 1) * s >= size + p:
+            out -= 1
+    else:
+        out = (size + 2 * p - k) // s + 1
+    return out
+
+
+def _pool_padding(
+    size: Tuple[int, int], k: Tuple[int, int], s: Tuple[int, int], p: Tuple[int, int],
+    ceil_mode: bool,
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    pads = []
+    for dim in range(2):
+        out = _out_size(size[dim], k[dim], s[dim], p[dim], ceil_mode)
+        right = (out - 1) * s[dim] + k[dim] - size[dim] - p[dim]
+        pads.append((p[dim], max(right, 0)))
+    return pads[0], pads[1]
+
+
+def max_pool2d(
+    x: jnp.ndarray,
+    kernel_size: IntPair,
+    stride: IntPair,
+    padding: IntPair = 0,
+    ceil_mode: bool = False,
+) -> jnp.ndarray:
+    """torch.nn.MaxPool2d on NHWC input."""
+    k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
+    (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        init,
+        jax.lax.max,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
+    )
+
+
+def avg_pool2d(
+    x: jnp.ndarray,
+    kernel_size: IntPair,
+    stride: IntPair,
+    padding: IntPair = 0,
+    ceil_mode: bool = False,
+    count_include_pad: bool = True,
+) -> jnp.ndarray:
+    """torch.nn.AvgPool2d on NHWC input.
+
+    With count_include_pad=True the divisor counts the *explicit* zero
+    padding but never the extra ceil-mode padding (torch behavior).
+    """
+    k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
+    (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
+
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+        jnp.array(0, dtype=jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
+    )
+
+    if count_include_pad and not ceil_mode:
+        out = summed / (k[0] * k[1])
+    else:
+        # Per-window divisor: number of positions inside [0, size + 2p) when
+        # counting explicit pad (count_include_pad) or inside [0, size) when
+        # not. Computed via the same reduce_window over an indicator plane.
+        h, w = x.shape[1], x.shape[2]
+        if count_include_pad:
+            ones = jnp.ones((1, h + pt + pb - max(pb - p[0], 0), 1, 1), dtype=jnp.float32)
+            # indicator covers the explicitly-padded extent only
+            ind = jnp.zeros((1, h + pt + pb, w + pl + pr, 1), dtype=jnp.float32)
+            ind = ind.at[:, : h + pt + p[0], : w + pl + p[1], :].set(1.0)
+        else:
+            ind = jnp.zeros((1, h + pt + pb, w + pl + pr, 1), dtype=jnp.float32)
+            ind = ind.at[:, pt : pt + h, pl : pl + w, :].set(1.0)
+        counts = jax.lax.reduce_window(
+            ind,
+            jnp.array(0.0, jnp.float32),
+            jax.lax.add,
+            window_dimensions=(1, k[0], k[1], 1),
+            window_strides=(1, s[0], s[1], 1),
+            padding=((0, 0), (0, 0), (0, 0), (0, 0)),
+        )
+        out = summed / counts
+    return out.astype(x.dtype)
+
+
+def global_avg_pool(x: jnp.ndarray, freq_only: bool = False) -> jnp.ndarray:
+    """Adaptive average pooling used at the tower output.
+
+    freq_only pools the H (frequency) axis only, keeping the temporal axis
+    for attention (reference core/models/bn_inception.py:22-30): NHWC
+    (B, F, T, C) -> (B, T, C). Otherwise the full spatial mean -> (B, C).
+    Means accumulate in fp32 regardless of compute dtype.
+    """
+    xf = x.astype(jnp.float32)
+    if freq_only:
+        return jnp.mean(xf, axis=1).astype(x.dtype)  # (B, T, C)
+    return jnp.mean(xf, axis=(1, 2)).astype(x.dtype)  # (B, C)

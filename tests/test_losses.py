@@ -1,0 +1,206 @@
+"""Loss parity against torch and reference gating semantics."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.models.losses import (
+    attention_entropy,
+    contrast_loss,
+    cross_entropy,
+    kl_div,
+    mse_loss,
+    nll_loss,
+    prior_loss,
+    smooth_l1_loss,
+    tbn_loss,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def rand_logits(b=6, c=10):
+    return RNG.standard_normal((b, c)).astype(np.float32)
+
+
+class TestClassificationLosses:
+    def test_cross_entropy_matches_torch(self):
+        logits = rand_logits()
+        labels = RNG.integers(0, 10, 6)
+        ref = torch.nn.functional.cross_entropy(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        )
+        ours = cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_nll_matches_torch(self):
+        logp = torch.log_softmax(torch.from_numpy(rand_logits()), dim=-1)
+        labels = RNG.integers(0, 10, 6)
+        ref = torch.nn.functional.nll_loss(logp, torch.from_numpy(labels))
+        ours = nll_loss(jnp.asarray(logp.numpy()), jnp.asarray(labels))
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_mse_and_smoothl1(self):
+        a, b = rand_logits(), rand_logits()
+        ref_mse = torch.nn.functional.mse_loss(torch.from_numpy(a), torch.from_numpy(b))
+        ref_sl1 = torch.nn.functional.smooth_l1_loss(
+            torch.from_numpy(a), torch.from_numpy(b)
+        )
+        np.testing.assert_allclose(
+            float(mse_loss(jnp.asarray(a), jnp.asarray(b))), float(ref_mse), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(smooth_l1_loss(jnp.asarray(a), jnp.asarray(b))),
+            float(ref_sl1),
+            rtol=1e-5,
+        )
+
+    def test_kl_batchmean_matches_torch(self):
+        wts = torch.softmax(torch.from_numpy(rand_logits(6, 13)), dim=-1)
+        prior = torch.softmax(torch.from_numpy(rand_logits(6, 13)), dim=-1)
+        log_input = torch.log(wts + 1e-7)
+        ref = torch.nn.functional.kl_div(log_input, prior, reduction="batchmean")
+        ours = kl_div(jnp.asarray(log_input.numpy()), jnp.asarray(prior.numpy()))
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+class TestAttentionAuxLosses:
+    def test_contrast_matches_reference_formula(self):
+        wts = torch.softmax(torch.from_numpy(rand_logits(6, 13)), dim=-1)
+        thresh = 0.1
+        mask = (wts >= thresh).float()
+        ref = ((wts * (1 - mask)) - (wts * mask)).sum(dim=1).mean()
+        ours = contrast_loss(jnp.asarray(wts.numpy()), threshold=thresh)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_entropy_matches_torch_categorical(self):
+        wts = torch.softmax(torch.from_numpy(rand_logits(6, 13)), dim=-1)
+        ref = torch.distributions.Categorical(probs=wts + 1e-6).entropy().mean()
+        ours = attention_entropy(jnp.asarray(wts.numpy()))
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_prior_kl(self):
+        wts = torch.softmax(torch.from_numpy(rand_logits(4, 13)), dim=-1)
+        prior = torch.softmax(torch.from_numpy(rand_logits(4, 13)), dim=-1)
+        ref = torch.nn.functional.kl_div(
+            torch.log(wts + 1e-7), prior, reduction="batchmean"
+        )
+        ours = prior_loss(jnp.asarray(wts.numpy()), jnp.asarray(prior.numpy()), "kl")
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+class TestTBNLoss:
+    def _make(self, **overrides):
+        cfg = load_config(overrides=[f"{k}={v}" for k, v in overrides.items()])
+        preds = {
+            "verb": jnp.asarray(rand_logits(4, 125)),
+            "noun": jnp.asarray(rand_logits(4, 352)),
+        }
+        targets = {
+            "class": {
+                "verb": jnp.asarray(RNG.integers(0, 125, 4)),
+                "noun": jnp.asarray(RNG.integers(0, 352, 4)),
+            }
+        }
+        return cfg, preds, targets
+
+    def test_multi_head_sum(self):
+        cfg, preds, targets = self._make(**{"model.attention.enable": False})
+        loss = tbn_loss(preds, targets, cfg, epoch=0, train=True)
+        np.testing.assert_allclose(
+            float(loss["total"]), float(loss["verb"] + loss["noun"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(loss["all_class"]), float(loss["total"]), rtol=1e-6
+        )
+
+    def test_entropy_gated_by_decay_step(self):
+        cfg, preds, targets = self._make(
+            **{"model.attention.use_entropy": True, "model.attention.decay_step": 10}
+        )
+        wts = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        )
+        early = tbn_loss(
+            preds, targets, cfg, epoch=0, train=True, attention_weights=wts
+        )
+        late = tbn_loss(
+            preds, targets, cfg, epoch=9, train=True, attention_weights=wts
+        )
+        # before decay_step the entropy term contributes nothing
+        np.testing.assert_allclose(
+            float(early["total"]), float(early["all_class"]), rtol=1e-6
+        )
+        assert float(late["total"]) > float(late["all_class"])
+        np.testing.assert_allclose(
+            float(late["total"]),
+            float(late["all_class"] + 0.25 * late["entropy"]),
+            rtol=1e-5,
+        )
+
+    def test_entropy_early_stop_threshold(self):
+        cfg, preds, targets = self._make(
+            **{
+                "model.attention.use_entropy": True,
+                "model.attention.decay_step": 1,
+                "model.attention.entropy_thresh": 100.0,  # always below -> stop
+            }
+        )
+        wts = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        )
+        loss = tbn_loss(preds, targets, cfg, epoch=5, train=True, attention_weights=wts)
+        np.testing.assert_allclose(
+            float(loss["total"]), float(loss["all_class"]), rtol=1e-6
+        )
+
+    def test_prior_and_contrast_terms(self):
+        cfg, preds, targets = self._make(
+            **{
+                "model.attention.use_prior": True,
+                "model.attention.use_contrast": True,
+                "model.attention.decay_step": 1,
+            }
+        )
+        wts = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        )
+        targets["weights"] = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        ).reshape(4, 3, 13, 1)
+        loss = tbn_loss(preds, targets, cfg, epoch=5, train=True, attention_weights=wts)
+        assert "prior" in loss and "contrast" in loss
+        np.testing.assert_allclose(
+            float(loss["total"]),
+            float(
+                loss["all_class"] + 0.25 * loss["prior"] + 0.25 * loss["contrast"]
+            ),
+            rtol=1e-5,
+        )
+
+    def test_mha_weights_squeezed(self):
+        cfg, preds, targets = self._make(
+            **{"model.attention.use_entropy": True, "model.attention.decay_step": 1}
+        )
+        wts3 = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        )[:, None, :]
+        loss = tbn_loss(
+            preds, targets, cfg, epoch=5, train=True, attention_weights=wts3
+        )
+        assert np.isfinite(float(loss["entropy"]))
+
+    def test_eval_mode_ignores_gate(self):
+        cfg, preds, targets = self._make(
+            **{"model.attention.use_entropy": True, "model.attention.decay_step": 10}
+        )
+        wts = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        )
+        loss = tbn_loss(preds, targets, cfg, epoch=0, train=False, attention_weights=wts)
+        # validation computes the full sum regardless of epoch (reference
+        # get_loss is called without epoch at val, defaulting to multipliers on)
+        assert float(loss["total"]) > float(loss["all_class"])

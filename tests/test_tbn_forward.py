@@ -1,0 +1,180 @@
+"""End-to-end TBN forward: modality combinations, attention variants,
+consensus, waveform->spectrogram-in-model, 10-crop tiling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+B, N = 2, 3
+H = W = 64  # small images to keep CPU compile fast; towers are resolution-agnostic
+AUDIO_LEN = int(1.279 * 24000)  # -> 8-step attention window
+
+
+def make_cfg(**over):
+    base = {
+        "data.audio.audio_length": 1.279,
+        "tpu.compute_dtype": "float32",
+    }
+    base.update(over)
+    return load_config(overrides=[f"{k}={v}" for k, v in base.items()])
+
+
+def make_batch(modality, win=8, waveform=True):
+    rng = np.random.default_rng(0)
+    batch = {}
+    if "RGB" in modality:
+        batch["RGB"] = jnp.asarray(
+            rng.standard_normal((B, N, H, W, 3)), jnp.float32
+        )
+    if "Flow" in modality:
+        batch["Flow"] = jnp.asarray(
+            rng.standard_normal((B, N, H, W, 10)), jnp.float32
+        )
+    if "Audio" in modality:
+        if waveform:
+            batch["Audio"] = jnp.asarray(
+                rng.standard_normal((B, N, AUDIO_LEN)) * 0.1, jnp.float32
+            )
+        else:
+            batch["Audio"] = jnp.asarray(
+                rng.standard_normal((B, N, 256, 256, 1)), jnp.float32
+            )
+    return batch
+
+
+def init_and_run(cfg, modality, batch, train=False):
+    spec = TBNSpec.from_config(cfg, modality)
+    model = TBNModel(spec)
+    rngs = {
+        "params": jax.random.key(0),
+        "dropout": jax.random.key(1),
+        "gumbel": jax.random.key(2),
+        "audio_dropout": jax.random.key(3),
+    }
+    variables = model.init(rngs, batch, train=False)
+    if train:
+        out, _ = model.apply(
+            variables,
+            batch,
+            train=True,
+            rngs={k: v for k, v in rngs.items() if k != "params"},
+            mutable=["batch_stats"],
+        )
+    else:
+        out = model.apply(variables, batch, train=False)
+    return out
+
+
+class TestForward:
+    def test_rgb_only(self):
+        cfg = make_cfg(**{"model.attention.enable": False})
+        out = init_and_run(cfg, ["RGB"], make_batch(["RGB"]))
+        assert out["verb"].shape == (B, 125)
+        assert out["noun"].shape == (B, 352)
+        assert "weights" not in out
+
+    def test_trimodal_no_attention(self):
+        cfg = make_cfg(**{"model.attention.enable": False})
+        modality = ["RGB", "Flow", "Audio"]
+        out = init_and_run(cfg, modality, make_batch(modality))
+        assert out["verb"].shape == (B, 125)
+
+    def test_trimodal_mha(self):
+        cfg = make_cfg(**{"model.attention.type": "mha"})
+        modality = ["RGB", "Flow", "Audio"]
+        out = init_and_run(cfg, modality, make_batch(modality))
+        assert out["verb"].shape == (B, 125)
+        assert out["weights"].shape == (B * N, 1, 8)
+        np.testing.assert_allclose(
+            np.asarray(out["weights"].sum(-1)), 1.0, rtol=1e-4
+        )
+
+    @pytest.mark.parametrize("att_type", ["unimodal", "proto"])
+    def test_rgb_audio_attention_types(self, att_type):
+        cfg = make_cfg(**{"model.attention.type": att_type})
+        modality = ["RGB", "Audio"]
+        out = init_and_run(cfg, modality, make_batch(modality), train=True)
+        assert out["verb"].shape == (B, 125)
+        assert out["weights"].shape == (B * N, 8)
+
+    def test_fixed_prior_weights(self):
+        cfg = make_cfg(**{"model.attention.use_fixed": True})
+        modality = ["RGB", "Audio"]
+        batch = make_batch(modality)
+        batch["weights"] = jnp.ones((B, N, 8, 1), jnp.float32) / 8.0
+        out = init_and_run(cfg, modality, batch)
+        assert out["verb"].shape == (B, 125)
+        assert "weights" not in out
+
+    def test_audio_only(self):
+        cfg = make_cfg(**{"model.attention.enable": False})
+        out = init_and_run(cfg, ["Audio"], make_batch(["Audio"]))
+        assert out["verb"].shape == (B, 125)
+
+    def test_audio_only_learned_attention_rejected(self):
+        cfg = make_cfg(**{"model.attention.type": "mha"})
+        with pytest.raises(ValueError):
+            init_and_run(cfg, ["Audio"], make_batch(["Audio"]))
+
+    def test_consensus_is_segment_mean(self):
+        # two identical segments -> consensus equals single-segment scores
+        cfg = make_cfg(**{"model.attention.enable": False})
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        frame = np.random.default_rng(1).standard_normal((B, 1, H, W, 3))
+        batch_same = {"RGB": jnp.asarray(np.tile(frame, (1, 3, 1, 1, 1)), jnp.float32)}
+        batch_one = {"RGB": jnp.asarray(frame, jnp.float32)}
+        variables = model.init(jax.random.key(0), batch_one, train=False)
+        out3 = model.apply(variables, batch_same, train=False)
+        out1 = model.apply(variables, batch_one, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out3["verb"]), np.asarray(out1["verb"]), rtol=1e-4, atol=1e-5
+        )
+
+    def test_ten_crop_audio_tiling(self):
+        # visual streams carry N*10 crops, audio only N -> audio tiled
+        cfg = make_cfg(**{"model.attention.enable": False})
+        modality = ["RGB", "Audio"]
+        spec = TBNSpec.from_config(cfg, modality)
+        model = TBNModel(spec)
+        rng = np.random.default_rng(2)
+        batch = {
+            "RGB": jnp.asarray(rng.standard_normal((B, N * 10, H, W, 3)), jnp.float32),
+            "Audio": jnp.asarray(
+                rng.standard_normal((B, N, AUDIO_LEN)) * 0.1, jnp.float32
+            ),
+        }
+        variables = model.init(jax.random.key(0), batch, train=False)
+        out = model.apply(variables, batch, train=False)
+        assert out["verb"].shape == (B, 125)
+
+    def test_audio_dropout_path(self):
+        cfg = make_cfg(
+            **{"model.attention.enable": False, "data.audio.dropout": 0.5}
+        )
+        modality = ["RGB", "Audio"]
+        out = init_and_run(cfg, modality, make_batch(modality), train=True)
+        assert np.all(np.isfinite(np.asarray(out["verb"])))
+
+    def test_bfloat16_compute(self):
+        cfg = make_cfg(
+            **{"tpu.compute_dtype": "bfloat16", "model.attention.enable": False}
+        )
+        out = init_and_run(cfg, ["RGB"], make_batch(["RGB"]))
+        # consensus casts scores to fp32
+        assert out["verb"].dtype == jnp.float32
+
+    def test_action_head(self):
+        cfg = make_cfg(
+            **{
+                "model.attention.enable": False,
+                "model.num_classes": "{verb: 125, noun: 352, action: 2513}",
+            }
+        )
+        out = init_and_run(cfg, ["RGB"], make_batch(["RGB"]))
+        assert out["action"].shape == (B, 2513)

@@ -1,0 +1,118 @@
+"""Tower shape/behavior tests: BN-Inception (visual + audio), ResNet, VGG."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_tbn_tpu.models.bn_inception import (
+    BN_INCEPTION_BLOCKS,
+    BNInception,
+)
+from attention_based_tbn_tpu.models.resnet import ResNet
+from attention_based_tbn_tpu.models.vgg import VGG
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.key(0)
+
+
+class TestBNInception:
+    def test_block_output_channels(self):
+        # standard Inception-BN widths
+        outs = {}
+        for name, s in BN_INCEPTION_BLOCKS:
+            if s.proj:
+                outs[name] = s.b1x1 + s.b3x3 + s.d3x3 + s.proj
+        assert outs["inception_3a"] == 256
+        assert outs["inception_3b"] == 320
+        assert outs["inception_4a"] == 576
+        assert outs["inception_4c"] == 608
+        assert outs["inception_5a"] == 1024
+        assert outs["inception_5b"] == 1024
+
+    def test_visual_feature_shape(self, key):
+        model = BNInception()
+        x = jnp.zeros((2, 224, 224, 3))
+        variables = model.init(key, x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 1024)
+
+    def test_flow_input_channels(self, key):
+        model = BNInception()
+        x = jnp.zeros((1, 224, 224, 10))
+        variables = model.init(key, x)
+        assert model.apply(variables, x).shape == (1, 1024)
+
+    def test_audio_freq_pool_shape(self, key):
+        # 2.1 s spectrogram: 256 x 420 -> features 8 x 13 -> (B, 13, 1024)
+        model = BNInception(freq_pool_only=True)
+        x = jnp.zeros((1, 256, 420, 1))
+        variables = model.init(key, x)
+        out = model.apply(variables, x)
+        assert out.shape == (1, 13, 1024)
+
+    def test_audio_4s_window(self, key):
+        # 4.0 s: 256 x 800 -> 8 x 25 (the reference's documented anchor)
+        model = BNInception(freq_pool_only=True)
+        x = jnp.zeros((1, 256, 800, 1))
+        variables = model.init(key, x)
+        assert model.apply(variables, x).shape == (1, 25, 1024)
+
+    def test_audio_stem_variant(self, key):
+        model = BNInception(freq_pool_only=True, audio_stem=True)
+        x = jnp.zeros((1, 256, 420, 1))
+        variables = model.init(key, x)
+        assert model.apply(variables, x).shape == (1, 13, 1024)
+
+    def test_param_count(self, key):
+        # Inception-BN has ~11.3M params (incl. BN affine, excl. classifier)
+        model = BNInception()
+        variables = model.init(key, jnp.zeros((1, 224, 224, 3)))
+        n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+        assert 10_000_000 < n_params < 12_000_000
+
+    def test_batch_stats_update_in_train(self, key):
+        model = BNInception()
+        x = jnp.ones((2, 64, 64, 3)) * 3.0
+        variables = model.init(key, x)
+        _, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        before = variables["batch_stats"]["conv1_7x7_s2"]["bn"]["mean"]
+        after = mutated["batch_stats"]["conv1_7x7_s2"]["bn"]["mean"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestResNet:
+    @pytest.mark.parametrize("depth,feat", [(18, 512), (50, 2048)])
+    def test_feature_shapes(self, key, depth, feat):
+        model = ResNet(depth=depth)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(key, x)
+        assert model.apply(variables, x).shape == (1, feat)
+        assert model.feature_size == feat
+
+    def test_non_rgb_input(self, key):
+        model = ResNet(depth=18)
+        x = jnp.zeros((1, 64, 64, 10))
+        variables = model.init(key, x)
+        assert model.apply(variables, x).shape == (1, 512)
+
+
+class TestVGG:
+    def test_feature_shape(self, key):
+        model = VGG(vgg_type="11")
+        x = jnp.zeros((1, 224, 224, 3))
+        variables = model.init(key, x)
+        out = model.apply(variables, x)
+        assert out.shape == (1, 4096)
+
+    def test_bn_variant(self, key):
+        model = VGG(vgg_type="11bn")
+        x = jnp.zeros((1, 224, 224, 3))
+        variables = model.init(key, x)
+        assert "bn0" in variables["params"]
+        assert model.apply(variables, x).shape == (1, 4096)
