@@ -1,0 +1,58 @@
+"""Epic-Kitchens class metadata (verb/noun/action tables).
+
+Mirrors reference core/dataset/epic_class.py: loads EPIC_verb_classes.csv /
+EPIC_noun_classes.csv (+ optional action table), exposes exploded synonym
+frames and (verb, noun) -> "verb_id,noun_id" action-id lookup.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+from typing import Optional
+
+import pandas as pd
+
+
+class EpicClasses:
+    def __init__(self, annotation_dir: str):
+        self.annotation_dir = annotation_dir
+        self.verb_df = self._load("EPIC_verb_classes.csv", "verbs", "verb_id")
+        self.noun_df = self._load("EPIC_noun_classes.csv", "nouns", "noun_id")
+        action_path = os.path.join(annotation_dir, "action_id_to_name.pkl")
+        self.action_names = (
+            pd.read_pickle(action_path) if os.path.exists(action_path) else None
+        )
+
+    def _load(self, filename: str, list_col: str, id_col: str) -> pd.DataFrame:
+        path = os.path.join(self.annotation_dir, filename)
+        table = pd.read_csv(path)
+        # EPIC ships the synonym list as a stringified python list; explode it
+        # so each synonym maps to its class id (reference epic_class.py:24-45).
+        cols = table.columns.tolist()
+        id_name = cols[0]
+        syn_name = next((c for c in cols if c in (list_col, "verbs", "nouns")), None)
+        if syn_name is None:
+            raise ValueError(f"No synonym column in {filename}: {cols}")
+        table = table.rename(columns={id_name: id_col})
+        table[syn_name] = table[syn_name].apply(
+            lambda v: ast.literal_eval(v) if isinstance(v, str) and v.startswith("[") else [v]
+        )
+        exploded = table.explode(syn_name).rename(columns={syn_name: list_col})
+        return exploded.reset_index(drop=True)
+
+    def verb_id(self, verb: str) -> int:
+        return int(self.verb_df.query("verbs == @verb")[
+            "verb_id"
+        ].values[0])
+
+    def noun_id(self, noun: str) -> int:
+        return int(self.noun_df.query("nouns == @noun")["noun_id"].values[0])
+
+    def action_id_string(self, verb: str, noun: str) -> str:
+        return f"{self.verb_id(verb)},{self.noun_id(noun)}"
+
+    def action_name(self, action_id: int) -> Optional[str]:
+        if self.action_names is None:
+            return None
+        return self.action_names[action_id]

@@ -70,6 +70,13 @@ class TBNSpec:
     sampling_rate: int = 24000
     audio_from_waveform: bool = True
     compute_dtype: str = "float32"
+    # Per-modality normalization (applied on device to uint8 inputs; the
+    # reference normalizes on the host after /255, transform.py:464-543).
+    # RGB mean is BGR-ordered, matching the reference's BGR decode.
+    rgb_mean: Tuple[float, ...] = (0.408, 0.459, 0.502)
+    rgb_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    flow_mean: Tuple[float, ...] = (0.502,)
+    flow_std: Tuple[float, ...] = (1.0,)
 
     @classmethod
     def from_config(cls, cfg, modality) -> "TBNSpec":
@@ -87,6 +94,10 @@ class TBNSpec:
             attn_dropout=float(att.attn_dropout),
             attn_win=attention_window_size(cfg.data.audio.audio_length),
             audio_dropout=float(cfg.data.audio.dropout),
+            rgb_mean=tuple(cfg.data.rgb.mean),
+            rgb_std=tuple(cfg.data.rgb.std),
+            flow_mean=tuple(cfg.data.flow.mean),
+            flow_std=tuple(cfg.data.flow.std),
             fusion_dropout=float(cfg.model.fusion_dropout),
             resnet_depth=int(cfg.model.resnet.depth),
             vgg_type=str(cfg.model.vgg.type),
@@ -179,6 +190,8 @@ class TBNModel(nn.Module):
             else:
                 b, n = x.shape[0], x.shape[1]
                 x = x.reshape((b * n,) + x.shape[2:])
+                if m in ("RGB", "Flow") and x.dtype == jnp.uint8:
+                    x = self._normalize(m, x)
 
             tower = self._make_tower(m)
             feature = tower(x.astype(dtype), train=train)
@@ -217,6 +230,19 @@ class TBNModel(nn.Module):
         if spec.attention_enable and not spec.use_fixed and att_wts is not None:
             out["weights"] = att_wts
         return out
+
+    def _normalize(self, modality: str, x: jnp.ndarray) -> jnp.ndarray:
+        """uint8 -> float/255 - mean / std on device (fused into the tower's
+        first conv by XLA). Mean/std repeat across flow-stack channels like
+        the reference Normalize (transform.py:533-536)."""
+        spec = self.spec
+        mean = spec.rgb_mean if modality == "RGB" else spec.flow_mean
+        std = spec.rgb_std if modality == "RGB" else spec.flow_std
+        channels = x.shape[-1]
+        reps = channels // len(mean)
+        mean = jnp.asarray(mean * reps, dtype=self.dtype)
+        std = jnp.asarray(std * reps, dtype=self.dtype)
+        return (x.astype(self.dtype) / 255.0 - mean) / std
 
     def _audio_feature(self, batch, features, feature, b, n, train):
         """Audio post-tower path: dropout / fixed weighting / attention."""

@@ -83,9 +83,11 @@ def avg_pool2d(
     k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
     (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
 
+    # NOTE: init must be a Python scalar — a traced jnp scalar defeats the
+    # add-monoid recognition and breaks reverse-mode AD under jit.
     summed = jax.lax.reduce_window(
         x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
-        jnp.array(0, dtype=jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype),
+        0.0,
         jax.lax.add,
         window_dimensions=(1, k[0], k[1], 1),
         window_strides=(1, s[0], s[1], 1),
@@ -109,7 +111,7 @@ def avg_pool2d(
             ind = ind.at[:, pt : pt + h, pl : pl + w, :].set(1.0)
         counts = jax.lax.reduce_window(
             ind,
-            jnp.array(0.0, jnp.float32),
+            0.0,
             jax.lax.add,
             window_dimensions=(1, k[0], k[1], 1),
             window_strides=(1, s[0], s[1], 1),

@@ -1,0 +1,57 @@
+"""Device mesh construction and sharding specs.
+
+The reference's multi-GPU story is single-process ``nn.DataParallel``
+(reference core/models/model_builder.py:73-75). The TPU-native equivalent is
+SPMD: one jitted step over a ``jax.sharding.Mesh`` with the batch sharded on
+a ``data`` axis; XLA inserts the gradient all-reduce over ICI. BN statistics
+become *global* batch statistics (an improvement over DataParallel, which
+keeps the master replica's).
+
+``gpu_ids`` (kept under the reference's config name) selects devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over the selected devices."""
+    if devices is None:
+        devices = jax.devices()
+        if cfg is not None:
+            ids = list(cfg.get_path("gpu_ids", []) or [])
+            if ids:
+                by_id = {d.id: d for d in devices}
+                devices = [by_id[i] for i in ids]
+        requested = cfg.get_path("tpu.mesh.data", -1) if cfg is not None else -1
+        if requested and requested > 0:
+            devices = devices[:requested]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place every array in the batch dict with its leading axis sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_to_multiple(batch_size: int, mesh: Mesh) -> int:
+    """Global batch must divide the data axis; callers pad with repeats."""
+    n = mesh.shape[DATA_AXIS]
+    return ((batch_size + n - 1) // n) * n

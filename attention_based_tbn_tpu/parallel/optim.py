@@ -1,0 +1,198 @@
+"""Optimizers, LR schedules and parameter-freezing masks.
+
+Mirrors the reference recipe (core/tools/train.py:189-217, core/models/
+model.py:148-176):
+
+* SGD(momentum, weight_decay) + MultiStepLR(milestones, gamma), or Adam;
+* optional GradualWarmupScheduler ramp;
+* global grad-norm clipping;
+* gradient accumulation (``optax.MultiSteps``, the reference's
+  accumulator_step with its loss/k scaling);
+* freeze_base "all" (whole towers frozen) or "partialbn" (BN affine params
+  frozen except the stem's first BN(s); the Audio two-branch stem keeps both
+  stem BNs trainable, reference model.py:170-176).
+
+The learning rate is injected via ``optax.inject_hyperparams`` so the host
+can retune it per epoch (torch-scheduler style) without recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import optax
+
+# Stem modules whose BN affine params stay trainable under partialbn.
+_STEM_BN_TRAINABLE = ("conv1_7x7_s2", "conv1_1x3_s2", "conv1_3x1_s2")
+
+
+def lr_at_epoch(cfg, epoch: int) -> float:
+    """Host-side LR schedule: MultiStepLR (+ optional warmup ramp).
+
+    MultiStepLR: lr * gamma^(number of milestones passed). Warmup
+    (GradualWarmupScheduler semantics): lr scales by
+    ``1 + (multiplier - 1) * epoch / warmup_epochs`` during warmup; for
+    multiplier == 1 the ramp is ``epoch / warmup_epochs``.
+    """
+    base = float(cfg.train.optim.lr)
+    if cfg.train.optim.type.lower() == "adam":
+        return base
+
+    steps = list(cfg.train.scheduler.lr_steps or [])
+    gamma = float(cfg.train.scheduler.lr_decay)
+    lr = base * (gamma ** sum(1 for s in steps if epoch >= s))
+
+    warm = cfg.train.warmup
+    if warm.enable:
+        total = max(int(warm.epochs), 1)
+        mult = float(warm.multiplier)
+        # scheduler.step(epoch + 1) in the reference -> ramp position is
+        # epoch + 1 capped at total
+        pos = min(epoch + 1, total)
+        if epoch + 1 <= total:
+            if mult == 1.0:
+                lr = base * pos / total
+            else:
+                lr = base * ((mult - 1.0) * pos / total + 1.0)
+        else:
+            # after warmup, the wrapped MultiStepLR takes over, scaled by mult
+            lr = lr * mult
+    return lr
+
+
+def _freeze_labels(params: Dict, cfg, modality) -> Dict:
+    """Label tree: "train" / "freeze" per leaf."""
+    freeze_base = bool(cfg.model.freeze_base)
+    freeze_mode = cfg.model.freeze_mode
+    arch = cfg.model.arch
+
+    def label_tower(tower_params: Dict) -> Dict:
+        def walk(node, path):
+            out = {}
+            for key, value in node.items():
+                if isinstance(value, dict):
+                    out[key] = walk(value, path + (key,))
+                else:
+                    if freeze_mode == "all":
+                        out[key] = "freeze"
+                    elif freeze_mode == "partialbn" and arch == "bninception":
+                        # freeze BN affine params outside the stem's first BN(s)
+                        in_bn = "bn" in path
+                        stem = path and path[0] in _STEM_BN_TRAINABLE
+                        out[key] = "freeze" if (in_bn and not stem) else "train"
+                    else:
+                        out[key] = "train"
+            return out
+
+        return walk(tower_params, ())
+
+    labels: Dict = {}
+    for key, value in params.items():
+        if key.startswith("Base_") and freeze_base:
+            labels[key] = label_tower(value)
+        else:
+            labels[key] = jax.tree.map(lambda _: "train", value)
+    return labels
+
+
+def build_optimizer(cfg, params: Dict, modality) -> Tuple[optax.GradientTransformation, Dict]:
+    """(optimizer, freeze-label tree). Apply with the labeled multi_transform."""
+    opt_cfg = cfg.train.optim
+
+    if opt_cfg.type.lower() == "sgd":
+        def make_tx(learning_rate):
+            return optax.sgd(
+                learning_rate,
+                momentum=float(opt_cfg.momentum),
+            )
+    elif opt_cfg.type.lower() == "adam":
+        def make_tx(learning_rate):
+            return optax.adam(learning_rate, b1=0.9, b2=0.999)
+    else:
+        raise ValueError(f"Unsupported optimizer {opt_cfg.type!r}")
+
+    chain = []
+    if cfg.train.clip_grad:
+        chain.append(optax.clip_by_global_norm(float(cfg.train.clip_grad)))
+    if float(opt_cfg.weight_decay) > 0:
+        chain.append(optax.add_decayed_weights(float(opt_cfg.weight_decay)))
+    inner = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(*chain, make_tx(learning_rate))
+    )(learning_rate=float(opt_cfg.lr))
+
+    labels = _freeze_labels(params, cfg, modality)
+    tx = optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels
+    )
+
+    k = int(opt_cfg.accumulator_step)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx, labels
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Retune the injected LR inside (possibly MultiSteps-wrapped) state."""
+    def update(node):
+        if isinstance(node, optax.InjectStatefulHyperparamsState) or hasattr(
+            node, "hyperparams"
+        ):
+            node.hyperparams["learning_rate"] = jax.numpy.asarray(
+                lr, dtype=node.hyperparams["learning_rate"].dtype
+            )
+            return True
+        return False
+
+    found = []
+
+    def walk(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in getattr(
+            node, "hyperparams", {}
+        ):
+            found.append(node)
+            return
+        if hasattr(node, "_fields"):  # NamedTuple
+            for field in node._fields:
+                walk(getattr(node, field))
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+        elif isinstance(node, dict):
+            for item in node.values():
+                walk(item)
+
+    walk(opt_state)
+    if not found:
+        raise ValueError("No injected learning_rate found in optimizer state")
+    new_states = []
+    for node in found:
+        node.hyperparams["learning_rate"] = jax.numpy.asarray(
+            lr, dtype=node.hyperparams["learning_rate"].dtype
+        )
+    return opt_state
+
+
+def current_learning_rate(opt_state) -> float:
+    value = []
+
+    def walk(node):
+        if hasattr(node, "hyperparams") and "learning_rate" in getattr(
+            node, "hyperparams", {}
+        ):
+            value.append(float(node.hyperparams["learning_rate"]))
+            return
+        if hasattr(node, "_fields"):
+            for field in node._fields:
+                walk(getattr(node, field))
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+        elif isinstance(node, dict):
+            for item in node.values():
+                walk(item)
+
+    walk(opt_state)
+    if not value:
+        raise ValueError("No injected learning_rate found in optimizer state")
+    return value[0]

@@ -1,0 +1,165 @@
+"""The jitted SPMD train / eval steps.
+
+One ``jax.jit`` with sharding annotations replaces the reference's whole
+device loop (core/tools/train.py:69-104): forward (+ on-device spectrogram),
+loss, backward, grad clip, optimizer update and BN-stat update all fuse into
+a single XLA program. The batch is sharded over the mesh's ``data`` axis;
+parameters and optimizer state are replicated; XLA inserts the psum for
+gradients and the global BN statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.losses import tbn_loss
+from ..models.tbn import TBNModel
+from .mesh import DATA_AXIS
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model: TBNModel,
+    batch: Mapping[str, jnp.ndarray],
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+) -> TrainState:
+    rngs = {
+        "params": rng,
+        "dropout": jax.random.fold_in(rng, 1),
+        "gumbel": jax.random.fold_in(rng, 2),
+        "audio_dropout": jax.random.fold_in(rng, 3),
+    }
+    variables = model.init(rngs, batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def _forward(model, params, batch_stats, batch, train, rngs):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    if train:
+        out, mutated = model.apply(
+            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"]
+        )
+        return out, mutated.get("batch_stats", batch_stats)
+    out = model.apply(variables, batch, train=False)
+    return out, batch_stats
+
+
+def make_train_step(
+    model: TBNModel,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Returns jitted fn(state, batch, targets, rng, epoch) ->
+    (state, loss_dict, preds)."""
+
+    def step_fn(state: TrainState, batch, targets, rng, epoch):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {
+            "dropout": step_rng,
+            "gumbel": jax.random.fold_in(step_rng, 1),
+            "audio_dropout": jax.random.fold_in(step_rng, 2),
+        }
+
+        def loss_fn(params):
+            preds, new_stats = _forward(
+                model, params, state.batch_stats, batch, True, rngs
+            )
+            loss = tbn_loss(
+                preds,
+                targets,
+                cfg,
+                epoch=epoch,
+                train=True,
+                attention_weights=preds.get("weights"),
+            )
+            return loss["total"], (loss, preds, new_stats)
+
+        grads, (loss, preds, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss, preds
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model: TBNModel, cfg, mesh: Optional[Mesh] = None) -> Callable:
+    """Returns jitted fn(state, batch, targets, epoch) -> (loss_dict, preds)."""
+
+    def step_fn(state: TrainState, batch, targets, epoch):
+        preds, _ = _forward(model, state.params, state.batch_stats, batch, False, {})
+        loss = tbn_loss(
+            preds,
+            targets,
+            cfg,
+            epoch=epoch,
+            train=False,
+            attention_weights=preds.get("weights"),
+        )
+        return loss, preds
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_infer_step(model: TBNModel, mesh: Optional[Mesh] = None) -> Callable:
+    """Pure forward for testing/submission: fn(state, batch) -> preds."""
+
+    def step_fn(state: TrainState, batch):
+        preds, _ = _forward(model, state.params, state.batch_stats, batch, False, {})
+        return preds
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=repl)

@@ -1,0 +1,191 @@
+"""The evaluation / challenge-submission driver.
+
+Re-implements reference core/tools/test.py: loads a checkpoint (required),
+iterates over one or more annotation files (labeled validation or unlabeled
+S1/S2 test CSVs), computes metrics when labels exist, and optionally dumps
+the Epic-Kitchens challenge JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import VideoDataset
+from ..data.loader import DataLoader
+from ..data.records import read_vid_list, resolve_vid_list_path
+from ..models.builder import build_model
+from ..parallel.mesh import make_mesh
+from ..parallel.train_step import TrainState, make_eval_step, make_infer_step
+from ..utils.checkpoint import restore_checkpoint
+from ..utils.metrics import Metric
+from ..utils.misc import get_time_diff, save_scores
+from .train import _device_put_factory, _pad_batch
+
+
+def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
+    mesh = make_mesh(cfg)
+    model, spec = build_model(cfg, modality)
+    device_put = _device_put_factory(mesh)
+    n_devices = mesh.size
+
+    if state is None:
+        if not cfg.test.pre_trained:
+            raise ValueError(
+                "No pre-trained weights exist. Please set the pre_trained "
+                "parameter for test in config file."
+            )
+        logger.info(f"Loading pre-trained weights {cfg.test.pre_trained}...")
+        if cfg.test.pre_trained.endswith(".pth"):
+            # torch checkpoint from the reference framework
+            from ..models.convert import convert_tbn_checkpoint, load_torch_file
+
+            sd = load_torch_file(cfg.test.pre_trained)
+            params, batch_stats = convert_tbn_checkpoint(
+                sd, arch=cfg.model.arch, vgg_type=str(cfg.model.vgg.type)
+            )
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=(),
+            )
+        else:
+            import jax.random as jrandom
+
+            # template init for orbax restore
+            annotation = cfg.test.annotation_file
+            probe = {
+                m: jnp.zeros(
+                    (1, int(cfg.test.num_segments))
+                    + _probe_shape(cfg, m),
+                    jnp.float32 if m == "Audio" else jnp.uint8,
+                )
+                for m in modality
+            }
+            variables = model.init(
+                {
+                    "params": jrandom.key(0),
+                    "dropout": jrandom.key(1),
+                    "gumbel": jrandom.key(2),
+                    "audio_dropout": jrandom.key(3),
+                },
+                probe,
+                train=False,
+            )
+            template = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=(),
+            )
+            state, _ = restore_checkpoint(cfg.test.pre_trained, template)
+        logger.info("Done.")
+
+    eval_step = make_eval_step(model, cfg, mesh)
+    infer_step = make_infer_step(model, mesh)
+
+    annotation_files = cfg.test.annotation_file
+    if isinstance(annotation_files, str):
+        annotation_files = [annotation_files]
+    logger.info(f"No of files to test: {len(annotation_files)}")
+
+    if cfg.test.save_results:
+        assert len(annotation_files) == len(cfg.test.results_file), (
+            f"Number of annotations files to test ({len(annotation_files)}) and "
+            f"number of result files ({len(cfg.test.results_file)}) do not match"
+        )
+
+    start_time = time.time()
+    all_results = []
+
+    for idx, annotation in enumerate(annotation_files):
+        vid_list = None
+        if cfg.test.vid_list:
+            vid_list = read_vid_list(resolve_vid_list_path(cfg.test.vid_list))
+
+        logger.info(f"Creating the dataset using {annotation}...")
+        dataset = VideoDataset(cfg, vid_list, annotation, modality, mode="test")
+        loader = DataLoader(
+            dataset,
+            batch_size=int(cfg.test.batch_size),
+            shuffle=False,
+            num_workers=int(cfg.num_workers),
+        )
+        logger.info(f"{len(dataset)} action segments to be processed.")
+        logger.info("Inference in progress...")
+
+        no_batches = max(round(len(dataset) / loader.batch_size), 1)
+        metric = Metric(cfg, no_batches)
+        labeled = False
+        output = {"action_id": []}
+        for key in cfg.model.num_classes.keys():
+            output[key] = []
+
+        for batch, targets, meta in loader:
+            true_bs = len(meta["uid"])
+            padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
+            has_labels = targets["class"] is not None
+            if has_labels:
+                labeled = True
+                b, t = batch, targets
+                if padded != true_bs:
+                    b, t = _pad_batch(batch, targets, padded)
+                loss, preds = eval_step(
+                    state, device_put(b), device_put(t), jnp.asarray(0)
+                )
+                metric.update(preds, t, loss, batch_size=true_bs)
+            else:
+                b = batch
+                if padded != true_bs:
+                    b, _ = _pad_batch(batch, {}, padded)
+                preds = infer_step(state, device_put(b))
+
+            if cfg.test.save_results:
+                output["action_id"].append(np.asarray(meta["uid"]))
+                for key in cfg.model.num_classes.keys():
+                    output[key].append(np.asarray(preds[key])[:true_bs])
+
+        if labeled:
+            test_loss, test_acc, conf_mat = metric.compute()
+            logger.info(f"Test_Loss: {test_loss}")
+            logger.info(f"Accuracy Top {cfg.val.topk}:")
+            logger.info(json.dumps(test_acc, indent=2))
+            all_results.append((test_loss, test_acc, conf_mat))
+        else:
+            all_results.append(None)
+
+        if cfg.test.save_results:
+            out_dir = cfg.out_dir or "."
+            out_file = os.path.join(out_dir, "inferences", cfg.test.results_file[idx])
+            action_names = None
+            names_path = os.path.join(
+                cfg.data_dir, "annotations", "action_id_to_name.pkl"
+            )
+            if os.path.exists(names_path):
+                import pandas as pd
+
+                action_names = pd.read_pickle(names_path)
+            try:
+                save_scores(output, out_file, action_names)
+                logger.info(f"Saved results to {out_file}")
+            except Exception as exc:  # noqa: BLE001 — mirror reference resilience
+                logger.exception(exc)
+
+    hours, minutes, seconds = get_time_diff(start_time, time.time())
+    logger.info(f"Inference time: {hours} hours, {minutes} minutes, {seconds} seconds")
+    return all_results
+
+
+def _probe_shape(cfg, modality: str):
+    if modality == "Audio":
+        return (int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate),)
+    crop = int(cfg.data.test_crop_size)
+    channels = 3 if modality == "RGB" else 2 * int(cfg.data.flow.win_length)
+    return (crop, crop, channels)

@@ -1,0 +1,268 @@
+"""The training driver: epochs of SPMD train steps + validation.
+
+Re-implements reference core/tools/train.py on the TPU stack: one jitted
+train step (forward + loss + grads + clip + update + BN stats) over the
+device mesh, host-side LR scheduling (MultiStepLR / warmup), per-epoch
+validation, Orbax checkpointing with resume-extends-epochs semantics, and
+TensorBoard scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import create_dataloader
+from ..models.builder import build_model
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.optim import (
+    build_optimizer,
+    current_learning_rate,
+    lr_at_epoch,
+    set_learning_rate,
+)
+from ..parallel.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.logging import Plotter
+from ..utils.metrics import Metric
+from ..utils.misc import get_time_diff
+
+
+def _device_put_factory(mesh):
+    sharding = batch_sharding(mesh)
+
+    def device_put(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), sharding)
+            if isinstance(x, np.ndarray) or np.isscalar(x)
+            else x,
+            tree,
+        )
+
+    return device_put
+
+
+def _pad_batch(batch, targets, total: int):
+    """Pad the batch to ``total`` rows by repeating the first sample so the
+    global batch divides the mesh; metrics use the true batch size."""
+    def pad(x):
+        x = np.asarray(x)
+        if x.shape[0] >= total:
+            return x
+        reps = np.concatenate([x, np.repeat(x[:1], total - x.shape[0], axis=0)])
+        return reps
+
+    return jax.tree.map(pad, batch), jax.tree.map(pad, targets)
+
+
+def train_one_epoch(
+    cfg, state, step_fn, loader, metric, epoch, rng, logger, mesh, device_put
+):
+    no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
+    log_interval = max(no_batches // 4, 1)
+    loss_tracker = 0.0
+    n_devices = mesh.size
+
+    loader.set_epoch(epoch)
+    for iter_no, (batch, targets, _) in enumerate(loader):
+        true_bs = int(next(iter(targets["class"].values())).shape[0])
+        padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
+        if padded != true_bs:
+            batch, targets = _pad_batch(batch, targets, padded)
+        batch = device_put(batch)
+        targets = device_put(targets)
+
+        state, loss, preds = step_fn(state, batch, targets, rng, jnp.asarray(epoch))
+        metric.update(preds, targets, loss, batch_size=true_bs)
+        loss_tracker += float(loss["total"])
+
+        if iter_no == 0 or (iter_no + 1) % log_interval == 0:
+            logger.info(
+                "Batch Progress: [{}/{}] || Train Loss: {:.5f}".format(
+                    iter_no + 1, no_batches, loss_tracker / (iter_no + 1)
+                )
+            )
+
+    train_loss, _, _ = metric.compute()
+    return state, train_loss
+
+
+def validate(cfg, state, eval_fn, loader, epoch, logger, mesh, device_put):
+    no_batches = max(len(loader.dataset) // loader.batch_size, 1)
+    metric = Metric(cfg, no_batches)
+    n_devices = mesh.size
+
+    for batch, targets, _ in loader:
+        true_bs = int(next(iter(targets["class"].values())).shape[0])
+        padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
+        if padded != true_bs:
+            batch, targets = _pad_batch(batch, targets, padded)
+        batch = device_put(batch)
+        targets = device_put(targets)
+        loss, preds = eval_fn(state, batch, targets, jnp.asarray(epoch))
+        metric.update(preds, targets, loss, batch_size=true_bs)
+
+    return metric.compute()
+
+
+def run_trainer(cfg, logger, modality, writer=None):
+    epochs = int(cfg.train.epochs)
+
+    logger.info("Initializing model...")
+    mesh = make_mesh(cfg)
+    logger.info(f"Mesh: {mesh.shape} over {mesh.size} device(s)")
+
+    model, spec = build_model(cfg, modality)
+    device_put = _device_put_factory(mesh)
+
+    train_loader = create_dataloader(cfg, modality, mode="train")
+    val_loader = create_dataloader(cfg, modality, mode="val")
+
+    # Initialize from one (padded) probe batch
+    probe_iter = iter(train_loader)
+    probe_batch, probe_targets, _ = next(probe_iter)
+    del probe_iter
+    n_devices = mesh.size
+    bs = int(next(iter(probe_targets["class"].values())).shape[0])
+    padded = ((bs + n_devices - 1) // n_devices) * n_devices
+    probe_batch, _ = _pad_batch(probe_batch, probe_targets, padded)
+    probe_batch = jax.tree.map(jnp.asarray, probe_batch)
+
+    params_probe = None
+    tx = None
+    rng = jax.random.key(int(cfg.data.manual_seed))
+
+    from ..models.tbn import TBNModel
+
+    variables = model.init(
+        {
+            "params": rng,
+            "dropout": jax.random.fold_in(rng, 1),
+            "gumbel": jax.random.fold_in(rng, 2),
+            "audio_dropout": jax.random.fold_in(rng, 3),
+        },
+        probe_batch,
+        train=False,
+    )
+    params = variables["params"]
+
+    # Pretrained tower weights
+    from ..models.builder import load_pretrained_towers
+
+    params, batch_stats = load_pretrained_towers(
+        cfg, modality, params, variables.get("batch_stats", {}), logger
+    )
+
+    tx, _ = build_optimizer(cfg, params, modality)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    logger.info("Model initialized.")
+
+    start_epoch = 0
+    train_loss_hist: List = []
+    val_loss_hist: List = []
+    val_acc_hist: Dict[str, List] = {k: [] for k in cfg.model.num_classes.keys()}
+
+    checkpoint_name = "tbn_{}_{}".format(cfg.model.arch, "_".join(modality))
+    if cfg.data.dataset:
+        checkpoint_name = "_".join([cfg.data.dataset, checkpoint_name])
+    checkpoint = os.path.join(
+        cfg.out_dir, cfg.model.checkpoint_dir, cfg.exp_name, checkpoint_name
+    )
+
+    if cfg.train.pre_trained:
+        logger.info("Loading pre-trained state...")
+        state, history = restore_checkpoint(cfg.train.pre_trained, state)
+        start_epoch = int(history.get("epoch", -1)) + 1
+        epochs += start_epoch  # reference semantics: resume extends epochs
+        train_loss_hist = history.get("train_loss", [])
+        val_loss_hist = history.get("validation_loss", [])
+        val_acc_hist = history.get("validation_accuracy", val_acc_hist)
+        logger.info(f"Model will continue training from epoch no {start_epoch + 1}")
+
+    train_step = make_train_step(model, tx, cfg, mesh)
+    eval_step = make_eval_step(model, cfg, mesh)
+
+    plotter = Plotter(writer)
+    plotter.add_config(cfg)
+
+    logger.info("Training in progress...")
+    start_time = time.time()
+
+    for epoch in range(start_epoch, epochs):
+        epoch_start = time.time()
+        lr = lr_at_epoch(cfg, epoch)
+        set_learning_rate(state.opt_state, lr)
+
+        no_batches = max(round(len(train_loader.dataset) / train_loader.batch_size), 1)
+        metric = Metric(cfg, no_batches)
+        state, train_loss = train_one_epoch(
+            cfg, state, train_step, train_loader, metric, epoch,
+            jax.random.fold_in(rng, epoch), logger, mesh, device_put,
+        )
+        train_loss_hist.append(train_loss)
+
+        if cfg.val.enable:
+            logger.info("Validation in progress...")
+            val_loss, val_acc, conf_mat = validate(
+                cfg, state, eval_step, val_loader, epoch, logger, mesh, device_put
+            )
+            val_loss_hist.append(val_loss)
+            for key in val_acc_hist:
+                val_acc_hist[key].append(val_acc.get(key))
+        else:
+            val_loss, val_acc, conf_mat = None, None, None
+
+        save_checkpoint(
+            checkpoint,
+            state,
+            epoch,
+            train_loss_hist,
+            val_loss_hist,
+            val_acc_hist,
+            conf_mat,
+        )
+
+        plotter.plot_scalar(lr, epoch, "train/learning_rate")
+        for key, value in train_loss.items():
+            plotter.plot_scalar(value, epoch, f"train/{key}_loss")
+            if cfg.val.enable and val_loss is not None and key in val_loss:
+                plotter.plot_scalar(val_loss[key], epoch, f"val/{key}_loss")
+        if cfg.val.enable and val_acc:
+            for cls, accs in val_acc.items():
+                for k_idx, acc in enumerate(accs):
+                    plotter.plot_scalar(
+                        acc, epoch, f"val/accuracy/{cls}_top_{cfg.val.topk[k_idx]}"
+                    )
+
+        hours, minutes, seconds = get_time_diff(epoch_start, time.time())
+        logger.info("-" * 58)
+        logger.info(f"Epoch: [{epoch + 1}/{epochs}] || Learning Rate: {lr}")
+        logger.info(f"Train_loss: {train_loss}")
+        logger.info(f"Val_Loss: {val_loss}")
+        logger.info(f"Epoch Time: {hours} hours, {minutes} minutes, {seconds} seconds")
+        logger.info(f"Accuracy Top {cfg.val.topk}:")
+        logger.info(json.dumps(val_acc, indent=2))
+        logger.info("-" * 58)
+
+    hours, minutes, seconds = get_time_diff(start_time, time.time())
+    logger.info(
+        f"Training completed. Total time taken: {hours} hours, "
+        f"{minutes} minutes, {seconds} seconds"
+    )
+    return state

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: RGB+Flow+Audio TBN inference clips/sec/chip on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
+   "vs_baseline": N, ...}
+
+The measured configuration is the reference's eval recipe: BN-Inception
+towers over 25 segments/clip of 224x224 RGB + 10ch flow stacks + 2.1 s audio
+(spectrogram computed on device), mid-level fusion + MHA audio attention,
+verb/noun heads, segment consensus — i.e. the full flagship forward.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md), so the baseline constant below is our estimate of the
+reference PyTorch pipeline on an A100 (eager, fp16 autocast, DataLoader-fed)
+for the same 25-segment tri-modal clip workload. It is documented here so
+the ratio is reproducible: 40 clips/s/GPU.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference throughput (PyTorch eager on A100, 25-seg tri-modal
+# inference). No published number exists; see module docstring.
+PYTORCH_A100_CLIPS_PER_SEC = 40.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from attention_based_tbn_tpu.config import load_config
+    from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+    cfg = load_config(
+        overrides=[
+            "model.attention.type=mha",
+            "model.pretrained=False",
+            "tpu.compute_dtype=bfloat16",
+        ]
+    )
+    modality = ["RGB", "Flow", "Audio"]
+    spec = TBNSpec.from_config(cfg, modality)
+    model = TBNModel(spec)
+
+    n_segments = int(cfg.test.num_segments)  # 25, the eval recipe
+    batch_size = 8
+    crop = int(cfg.data.test_crop_size)
+    audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "RGB": jnp.asarray(
+            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 3)), jnp.uint8
+        ),
+        "Flow": jnp.asarray(
+            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 10)), jnp.uint8
+        ),
+        "Audio": jnp.asarray(
+            rng.standard_normal((batch_size, n_segments, audio_len)) * 0.1,
+            jnp.float32,
+        ),
+    }
+
+    rngs = {
+        "params": jax.random.key(0),
+        "dropout": jax.random.key(1),
+        "gumbel": jax.random.key(2),
+        "audio_dropout": jax.random.key(3),
+    }
+    variables = model.init(rngs, batch, train=False)
+
+    @jax.jit
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    # Warmup/compile
+    out = forward(variables, batch)
+    jax.block_until_ready(out)
+
+    # Timed runs
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    clips_per_sec = batch_size * iters / elapsed
+    n_chips = jax.device_count()
+    value = clips_per_sec / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "clips_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(value / PYTORCH_A100_CLIPS_PER_SEC, 3),
+                "batch_size": batch_size,
+                "segments": n_segments,
+                "modalities": modality,
+                "dtype": "bfloat16",
+                "device": str(jax.devices()[0]),
+                "sec_per_batch": round(elapsed / iters, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

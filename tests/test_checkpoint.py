@@ -1,0 +1,53 @@
+"""Orbax checkpoint save/restore roundtrip."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from attention_based_tbn_tpu.parallel.train_step import TrainState
+from attention_based_tbn_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def make_state(value=1.0):
+    params = {"w": jnp.full((3, 3), value), "b": jnp.zeros(3)}
+    tx = optax.sgd(0.1, momentum=0.9)
+    return TrainState(
+        step=jnp.asarray(5, jnp.int32),
+        params=params,
+        batch_stats={"bn": {"mean": jnp.ones(3)}},
+        opt_state=tx.init(params),
+    )
+
+
+def test_roundtrip(tmp_path):
+    state = make_state(2.0)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(
+        path,
+        state,
+        epoch=3,
+        train_loss_hist=[{"total": 1.5}],
+        val_loss_hist=[{"total": 2.0}],
+        val_acc_hist={"verb": [[10.0, 20.0]]},
+        conf_mat={"verb": np.eye(2)},
+    )
+
+    template = make_state(0.0)
+    restored, history = restore_checkpoint(path, template)
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 2.0)
+    assert int(restored.step) == 5
+    np.testing.assert_allclose(np.asarray(restored.batch_stats["bn"]["mean"]), 1.0)
+    assert history["epoch"] == 3
+    assert history["train_loss"][0]["total"] == 1.5
+    assert history["conf_mat"]["verb"] == [[1.0, 0.0], [0.0, 1.0]]
+
+
+def test_overwrite(tmp_path):
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, make_state(1.0), epoch=0)
+    save_checkpoint(path, make_state(7.0), epoch=1)
+    restored, history = restore_checkpoint(path, make_state(0.0))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+    assert history["epoch"] == 1

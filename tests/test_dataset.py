@@ -1,0 +1,168 @@
+"""End-to-end host pipeline tests over the synthetic fixture dataset."""
+
+import numpy as np
+import pytest
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.data import synthetic
+from attention_based_tbn_tpu.data.dataset import VideoDataset
+from attention_based_tbn_tpu.data.loader import DataLoader, collate
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("epic")
+    videos = synthetic.generate(str(root), videos=["P01_01", "P02_03"])
+    return str(root), videos
+
+
+def make_cfg(root, **over):
+    base = {
+        "data_dir": root,
+        "out_dir": root,
+        "train.num_segments": 3,
+        "val.num_segments": 5,
+        "data.audio.audio_length": 1.279,
+        "model.attention.enable": False,
+        "num_workers": 2,
+    }
+    base.update(over)
+    return load_config(overrides=[f"{k}={v}" for k, v in base.items()])
+
+
+class TestVideoDataset:
+    def test_train_sample_shapes(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv",
+            ["RGB", "Flow", "Audio"], mode="train",
+        )
+        assert len(ds) == 6
+        s = ds.sample(0, np.random.default_rng(0))
+        assert s["RGB"].shape == (3, 224, 224, 3) and s["RGB"].dtype == np.uint8
+        assert s["Flow"].shape == (3, 224, 224, 10) and s["Flow"].dtype == np.uint8
+        assert s["Audio"].shape == (3, int(1.279 * 24000))
+        assert s["Audio"].dtype == np.float32
+        assert set(s["labels"].keys()) == {"verb", "noun"}
+
+    def test_eval_sample_deterministic(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB"], mode="val"
+        )
+        a = ds.sample(1)
+        b = ds.sample(1)
+        np.testing.assert_array_equal(a["RGB"], b["RGB"])
+        assert a["RGB"].shape == (5, 224, 224, 3)
+
+    def test_vid_filtering(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, [videos[0]], "annotations/epic_train_val.csv", ["RGB"], mode="train"
+        )
+        assert len(ds) == 3
+
+    def test_fixed_prior_weights(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(
+            root,
+            **{
+                "model.attention.enable": True,
+                "model.attention.use_fixed": True,
+                "model.attention.prior_type": "gaussian",
+            },
+        )
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB", "Audio"],
+            mode="train",
+        )
+        s = ds.sample(0, np.random.default_rng(0))
+        assert s["weights"].shape == (3, 8, 1)  # attn win for 1.279 s = 8
+        np.testing.assert_allclose(s["weights"].sum(axis=1), 1.0, rtol=1e-4)
+
+    def test_loud_prior(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(
+            root,
+            **{
+                "model.attention.enable": True,
+                "model.attention.use_prior": True,
+                "model.attention.prior_type": "loud",
+            },
+        )
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB", "Audio"],
+            mode="train",
+        )
+        s = ds.sample(0, np.random.default_rng(0))
+        assert s["target_weights"].shape == (3, 8, 1)
+
+    def test_sync_vs_async(self, fixture_root):
+        root, videos = fixture_root
+        for sampling in ("sync", "async"):
+            cfg = make_cfg(root, **{"data.sampling": sampling})
+            ds = VideoDataset(
+                cfg, videos, "annotations/epic_train_val.csv",
+                ["RGB", "Audio"], mode="train",
+            )
+            s = ds.sample(0, np.random.default_rng(0))
+            if sampling == "sync":
+                np.testing.assert_array_equal(
+                    s["indices"]["RGB"], s["indices"]["Audio"]
+                )
+
+
+class TestDataLoader:
+    def test_iterates_batches(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv",
+            ["RGB", "Audio"], mode="train",
+        )
+        loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=0)
+        batches = list(loader)
+        assert len(batches) == 2  # 6 samples, batch 4 -> 4 + 2
+        batch, targets, meta = batches[0]
+        assert batch["RGB"].shape == (4, 3, 224, 224, 3)
+        assert batch["Audio"].shape == (4, 3, int(1.279 * 24000))
+        assert targets["class"]["verb"].shape == (4,)
+        assert len(meta["uid"]) == 4
+
+    def test_shuffle_changes_with_epoch(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB"], mode="train"
+        )
+        loader = DataLoader(ds, batch_size=6, shuffle=True, num_workers=1, seed=0)
+        loader.set_epoch(0)
+        first = next(iter(loader))[2]["uid"]
+        loader.set_epoch(1)
+        second = next(iter(loader))[2]["uid"]
+        assert first != second
+
+    def test_determinism_same_epoch(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB"], mode="train"
+        )
+        loader = DataLoader(ds, batch_size=3, shuffle=True, num_workers=2, seed=7)
+        a = [b[0]["RGB"] for b in loader]
+        b = [b[0]["RGB"] for b in loader]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_drop_last(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB"], mode="train"
+        )
+        loader = DataLoader(ds, batch_size=4, drop_last=True, num_workers=1)
+        assert len(loader) == 1
+        assert len(list(loader)) == 1

@@ -1,0 +1,233 @@
+"""SPMD train/eval step tests on the virtual 8-device CPU mesh, plus
+optimizer schedule / freezing semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+from attention_based_tbn_tpu.parallel.mesh import make_mesh, shard_batch
+from attention_based_tbn_tpu.parallel.optim import (
+    build_optimizer,
+    current_learning_rate,
+    lr_at_epoch,
+    set_learning_rate,
+)
+from attention_based_tbn_tpu.parallel.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_infer_step,
+    make_train_step,
+)
+
+B, N, H, W = 8, 3, 32, 32
+
+
+def small_cfg(**over):
+    base = {
+        "model.attention.enable": False,
+        "data.audio.audio_length": 1.279,
+        "model.num_classes": "{verb: 7, noun: 9}",
+        "train.optim.lr": 0.01,
+    }
+    base.update(over)
+    return load_config(overrides=[f"{k}={v}" for k, v in base.items()])
+
+
+def make_batch(modality=("RGB",), b=B):
+    rng = np.random.default_rng(0)
+    batch = {}
+    if "RGB" in modality:
+        batch["RGB"] = jnp.asarray(rng.standard_normal((b, N, H, W, 3)), jnp.float32)
+    if "Audio" in modality:
+        batch["Audio"] = jnp.asarray(
+            rng.standard_normal((b, N, int(1.279 * 24000))) * 0.1, jnp.float32
+        )
+    targets = {
+        "class": {
+            "verb": jnp.asarray(rng.integers(0, 7, b)),
+            "noun": jnp.asarray(rng.integers(0, 9, b)),
+        }
+    }
+    return batch, targets
+
+
+class TestLRSchedule:
+    def test_multistep(self):
+        cfg = small_cfg(**{"train.scheduler.lr_steps": "[2, 4]"})
+        assert lr_at_epoch(cfg, 0) == pytest.approx(0.01)
+        assert lr_at_epoch(cfg, 1) == pytest.approx(0.01)
+        assert lr_at_epoch(cfg, 2) == pytest.approx(0.001)
+        assert lr_at_epoch(cfg, 4) == pytest.approx(0.0001)
+
+    def test_warmup_ramp(self):
+        cfg = small_cfg(
+            **{
+                "train.warmup.enable": True,
+                "train.warmup.epochs": 5,
+                "train.warmup.multiplier": 1,
+                "train.scheduler.lr_steps": "[]",
+            }
+        )
+        lrs = [lr_at_epoch(cfg, e) for e in range(6)]
+        assert lrs[0] == pytest.approx(0.01 / 5)
+        assert lrs[4] == pytest.approx(0.01)
+        assert lrs[5] == pytest.approx(0.01)
+
+    def test_adam_constant(self):
+        cfg = small_cfg(**{"train.optim.type": "adam"})
+        assert lr_at_epoch(cfg, 25) == pytest.approx(0.01)
+
+
+class TestFreezing:
+    def test_partialbn_labels(self):
+        cfg = small_cfg()
+        batch, _ = make_batch()
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        variables = model.init(jax.random.key(0), batch, train=False)
+        tx, labels = build_optimizer(cfg, variables["params"], ["RGB"])
+        tower = labels["Base_RGB"]
+        # stem BN trainable, deeper BNs frozen, convs trainable
+        assert tower["conv1_7x7_s2"]["bn"]["scale"] == "train"
+        assert tower["conv2_3x3"]["bn"]["scale"] == "freeze"
+        assert tower["inception_3a"]["1x1"]["bn"]["scale"] == "freeze"
+        assert tower["inception_3a"]["1x1"]["conv"]["kernel"] == "train"
+        assert labels["classifier"]["verb"]["kernel"] == "train"
+
+    def test_freeze_all(self):
+        cfg = small_cfg(**{"model.freeze_mode": "all"})
+        batch, _ = make_batch()
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        variables = model.init(jax.random.key(0), batch, train=False)
+        _, labels = build_optimizer(cfg, variables["params"], ["RGB"])
+        leaves = jax.tree.leaves(labels["Base_RGB"])
+        assert all(l == "freeze" for l in leaves)
+        assert labels["classifier"]["verb"]["kernel"] == "train"
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def base(self):
+        cfg = small_cfg()
+        batch, targets = make_batch()
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        mesh = make_mesh(cfg)
+        tx, _ = build_optimizer(
+            cfg,
+            model.init(jax.random.key(0), batch, train=False)["params"],
+            ["RGB"],
+        )
+        state = create_train_state(model, batch, tx, jax.random.key(0))
+        return cfg, model, mesh, tx, state, batch, targets
+
+    @pytest.fixture
+    def setup(self, base):
+        # train steps donate the state's buffers; give each test a fresh copy
+        cfg, model, mesh, tx, state, batch, targets = base
+        state = jax.tree.map(jnp.copy, state)
+        return cfg, model, mesh, tx, state, batch, targets
+
+    def test_mesh_has_8_devices(self, setup):
+        _, _, mesh, *_ = setup
+        assert mesh.shape["data"] == 8
+
+    def test_loss_decreases(self, setup):
+        cfg, model, mesh, tx, state, batch, targets = setup
+        step = make_train_step(model, tx, cfg, mesh)
+        batch_s = shard_batch(batch, mesh)
+        targets_s = shard_batch(targets, mesh)
+        rng = jax.random.key(42)
+        losses = []
+        for _ in range(5):
+            state, loss, _ = step(state, batch_s, targets_s, rng, jnp.asarray(0))
+            losses.append(float(loss["total"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_frozen_bn_params_unchanged(self, setup):
+        cfg, model, mesh, tx, state, batch, targets = setup
+        step = make_train_step(model, tx, cfg, mesh)
+        before = np.asarray(
+            state.params["Base_RGB"]["inception_3a"]["1x1"]["bn"]["scale"]
+        )
+        stem_before = np.asarray(
+            state.params["Base_RGB"]["conv1_7x7_s2"]["bn"]["scale"]
+        )
+        new_state, _, _ = step(
+            state,
+            shard_batch(batch, mesh),
+            shard_batch(targets, mesh),
+            jax.random.key(0),
+            jnp.asarray(0),
+        )
+        after = np.asarray(
+            new_state.params["Base_RGB"]["inception_3a"]["1x1"]["bn"]["scale"]
+        )
+        stem_after = np.asarray(
+            new_state.params["Base_RGB"]["conv1_7x7_s2"]["bn"]["scale"]
+        )
+        np.testing.assert_array_equal(before, after)  # frozen
+        assert not np.allclose(stem_before, stem_after)  # trainable
+
+    def test_batch_stats_updated(self, setup):
+        cfg, model, mesh, tx, state, batch, targets = setup
+        step = make_train_step(model, tx, cfg, mesh)
+        # snapshot before the step: the step donates state's buffers
+        before = np.asarray(
+            state.batch_stats["Base_RGB"]["conv1_7x7_s2"]["bn"]["mean"]
+        )
+        new_state, _, _ = step(
+            state,
+            shard_batch(batch, mesh),
+            shard_batch(targets, mesh),
+            jax.random.key(0),
+            jnp.asarray(0),
+        )
+        after = np.asarray(
+            new_state.batch_stats["Base_RGB"]["conv1_7x7_s2"]["bn"]["mean"]
+        )
+        assert not np.allclose(before, after)
+
+    def test_eval_and_infer_steps(self, setup):
+        cfg, model, mesh, tx, state, batch, targets = setup
+        eval_step = make_eval_step(model, cfg, mesh)
+        loss, preds = eval_step(
+            state, shard_batch(batch, mesh), shard_batch(targets, mesh), jnp.asarray(0)
+        )
+        assert np.isfinite(float(loss["total"]))
+        infer = make_infer_step(model, mesh)
+        preds = infer(state, shard_batch(batch, mesh))
+        assert preds["verb"].shape == (B, 7)
+
+    def test_set_learning_rate(self, setup):
+        cfg, model, mesh, tx, state, batch, targets = setup
+        assert current_learning_rate(state.opt_state) == pytest.approx(0.01)
+        set_learning_rate(state.opt_state, 0.005)
+        assert current_learning_rate(state.opt_state) == pytest.approx(0.005)
+
+
+class TestGradAccumulation:
+    def test_multisteps_applies_every_k(self):
+        cfg = small_cfg(**{"train.optim.accumulator_step": 2})
+        batch, targets = make_batch(b=8)
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        variables = model.init(jax.random.key(0), batch, train=False)
+        tx, _ = build_optimizer(cfg, variables["params"], ["RGB"])
+        state = create_train_state(model, batch, tx, jax.random.key(0))
+        step = make_train_step(model, tx, cfg)
+
+        p0 = np.asarray(state.params["classifier"]["verb"]["kernel"])
+        state, _, _ = step(state, batch, targets, jax.random.key(0), jnp.asarray(0))
+        p1 = np.asarray(state.params["classifier"]["verb"]["kernel"])
+        np.testing.assert_array_equal(p0, p1)  # first micro-step: no update
+        state, _, _ = step(state, batch, targets, jax.random.key(0), jnp.asarray(0))
+        p2 = np.asarray(state.params["classifier"]["verb"]["kernel"])
+        assert not np.allclose(p1, p2)  # second micro-step applies
