@@ -163,8 +163,8 @@ class VideoDataset:
         out: Dict = {
             "vid_id": vid_id,
             "uid": record.action_id,
-            "start_time": record.start_time,
-            "stop_time": record.stop_time,
+            "start_time": record.start_timestamp,
+            "stop_time": record.stop_timestamp,
             "indices": indices,
         }
 

@@ -107,20 +107,25 @@ class DataLoader:
             return self.dataset.sample(int(index), rng)
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_no, idx in enumerate(batches):
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(sample_one, [(batch_no, i) for i in idx]))
-                    collated = collate(samples)
-                    if self.device_put is not None:
-                        collated = (
-                            self.device_put(collated[0]),
-                            self.device_put(collated[1]),
-                            collated[2],
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_no, idx in enumerate(batches):
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(sample_one, [(batch_no, i) for i in idx])
                         )
-                    out_queue.put(collated)
-            out_queue.put(None)
+                        collated = collate(samples)
+                        if self.device_put is not None:
+                            collated = (
+                                self.device_put(collated[0]),
+                                self.device_put(collated[1]),
+                                collated[2],
+                            )
+                        out_queue.put(collated)
+                out_queue.put(None)
+            except BaseException as exc:  # propagate decode errors to consumer
+                out_queue.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -129,9 +134,17 @@ class DataLoader:
                 item = out_queue.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer can exit
+            while True:
+                try:
+                    out_queue.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def create_dataloader(cfg, modality, mode: str = "train", device_put=None) -> DataLoader:

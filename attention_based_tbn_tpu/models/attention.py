@@ -44,8 +44,42 @@ def positional_encoding_table(dim_size: int, max_len: int) -> np.ndarray:
     return table.astype(np.float32)
 
 
+class LinearParams(nn.Module):
+    """Declares a (kernel, bias) pair without applying it — lets a parent
+    dispatch between the jnp composition and a fused Pallas kernel while
+    keeping the converter-compatible parameter tree path."""
+
+    features_in: int
+    features_out: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.features_in, self.features_out), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,), jnp.float32)
+        return kernel, bias
+
+
+class AffineParams(nn.Module):
+    """(scale, bias) pair for a norm layer, declared without applying."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class PositionalEncoding(nn.Module):
-    """Concat-PE + 1x1 conv (1024+dim -> 1024) + GroupNorm(64, 1024)."""
+    """Concat-PE + 1x1 conv (1024+dim -> 1024) + GroupNorm(64, 1024).
+
+    With ``use_pallas`` the three stages run as one fused Pallas kernel
+    (ops/pallas_kernels.pe_block_pallas) entirely in VMEM.
+    """
 
     dim_size: int = 10
     max_len: int = 25
@@ -53,14 +87,33 @@ class PositionalEncoding(nn.Module):
     num_groups: int = 64
     encoding_type: str = "concat"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, S, C)
         b, s, c = x.shape
         table = jnp.asarray(positional_encoding_table(self.dim_size, self.max_len))
+
+        if self.encoding_type == "concat" and self.use_pallas:
+            from ..ops.pallas_kernels import pe_block_pallas
+
+            conv_k, conv_b = LinearParams(
+                c + self.dim_size, self.out_features, name="conv"
+            )()
+            gn_scale, gn_bias = AffineParams(self.out_features, name="norm")()
+            return pe_block_pallas(
+                x,
+                table.astype(x.dtype),
+                conv_k.astype(self.dtype),
+                conv_b.astype(self.dtype),
+                gn_scale.astype(self.dtype),
+                gn_bias.astype(self.dtype),
+                num_groups=self.num_groups,
+            )
+
         if self.encoding_type == "add":
-            x = x + table[None, :s, : c].astype(x.dtype)
+            x = x + table[None, :s, :c].astype(x.dtype)
         else:  # concat
             pe = jnp.broadcast_to(table[None], (b, self.max_len, self.dim_size))
             x = jnp.concatenate([x, pe.astype(x.dtype)], axis=-1)
@@ -82,6 +135,7 @@ class MultiheadAttention(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.5
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -94,6 +148,30 @@ class MultiheadAttention(nn.Module):
         e, h = self.embed_dim, self.num_heads
         head_dim = e // h
         kw = dict(dtype=self.dtype)
+
+        # Fused Pallas path: single query position, key==value, no dropout
+        # active (eval, or dropout_rate 0) — the TBN audio-attention case.
+        if (
+            self.use_pallas
+            and query.shape[1] == 1
+            and key is value
+            and (not train or self.dropout_rate == 0.0)
+        ):
+            from ..ops.pallas_kernels import mha_pallas
+
+            wq, bq = LinearParams(e, e, name="q_proj")()
+            wk, bk = LinearParams(e, e, name="k_proj")()
+            wv, bv = LinearParams(e, e, name="v_proj")()
+            wo, bo = LinearParams(e, e, name="out_proj")()
+            cast = lambda t: t.astype(self.dtype)
+            out, wts = mha_pallas(
+                query[:, 0, :],
+                key,
+                cast(wq), cast(bq), cast(wk), cast(bk),
+                cast(wv), cast(bv), cast(wo), cast(bo),
+                num_heads=h,
+            )
+            return out[:, None, :], wts[:, None, :]
 
         q = TorchLinear(e, name="q_proj", **kw)(query)
         k = TorchLinear(e, name="k_proj", **kw)(key)

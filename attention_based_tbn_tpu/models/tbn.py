@@ -70,6 +70,12 @@ class TBNSpec:
     sampling_rate: int = 24000
     audio_from_waveform: bool = True
     compute_dtype: str = "float32"
+    # Pallas kernels for STFT / PE-block / MHA (TPU only; jnp elsewhere).
+    use_pallas: bool = False
+    # Average features before the heads instead of logits after them —
+    # mathematically identical (consensus commutes with linear heads),
+    # N x fewer head FLOPs; off by default for strict logits-mean parity.
+    fast_consensus: bool = False
     # Per-modality normalization (applied on device to uint8 inputs; the
     # reference normalizes on the host after /255, transform.py:464-543).
     # RGB mean is BGR-ordered, matching the reference's BGR decode.
@@ -105,6 +111,8 @@ class TBNSpec:
             spec_type=cfg.data.audio.spec_type,
             sampling_rate=int(cfg.data.audio.sampling_rate),
             compute_dtype=cfg.get_path("tpu.compute_dtype", "float32") or "float32",
+            use_pallas=bool(cfg.get_path("tpu.use_pallas", False)),
+            fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
         )
 
     @property
@@ -149,6 +157,10 @@ class TBNModel(nn.Module):
 
             return 512 * RESNET_CONFIGS[self.spec.resnet_depth][2]
         return 4096
+
+    @property
+    def pallas_active(self) -> bool:
+        return self.spec.use_pallas and jax.default_backend() != "cpu"
 
     def _make_tower(self, modality: str) -> nn.Module:
         name = f"Base_{modality}"
@@ -217,15 +229,27 @@ class TBNModel(nn.Module):
             fused = Fusion(512, dropout=spec.fusion_dropout, dtype=dtype, name="fusion")(
                 fused, train=train
             )
-        logits = Classifier(dict(spec.num_classes), dtype=dtype, name="classifier")(
-            fused
-        )
 
         out: Dict[str, jnp.ndarray] = {}
-        for key, value in logits.items():
-            out[key] = (
-                value.reshape(b, n_consensus, -1).astype(jnp.float32).mean(axis=1)
-            )
+        if spec.fast_consensus:
+            # Consensus commutes with the linear heads: average the fused
+            # features over segments first (N x fewer head FLOPs, same math).
+            pooled = (
+                fused.reshape(b, n_consensus, -1).astype(jnp.float32).mean(axis=1)
+            ).astype(dtype)
+            logits = Classifier(
+                dict(spec.num_classes), dtype=dtype, name="classifier"
+            )(pooled)
+            for key, value in logits.items():
+                out[key] = value.astype(jnp.float32)
+        else:
+            logits = Classifier(
+                dict(spec.num_classes), dtype=dtype, name="classifier"
+            )(fused)
+            for key, value in logits.items():
+                out[key] = (
+                    value.reshape(b, n_consensus, -1).astype(jnp.float32).mean(axis=1)
+                )
 
         if spec.attention_enable and not spec.use_fixed and att_wts is not None:
             out["weights"] = att_wts
@@ -284,6 +308,7 @@ class TBNModel(nn.Module):
                 max_len=spec.attn_win,
                 out_features=1024,
                 dtype=dtype,
+                use_pallas=self.pallas_active,
                 name="pe",
             )(feature)
             out, wts = MultiheadAttention(
@@ -291,6 +316,7 @@ class TBNModel(nn.Module):
                 num_heads=spec.attn_heads,
                 dropout_rate=spec.attn_dropout,
                 dtype=dtype,
+                use_pallas=self.pallas_active,
                 name="attention_layer",
             )(query[:, None, :], seq, seq, train=train)
             return out[:, 0, :], wts  # (B*N, C), (B*N, 1, S)

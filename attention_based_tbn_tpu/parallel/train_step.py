@@ -43,7 +43,9 @@ def create_train_state(
         "gumbel": jax.random.fold_in(rng, 2),
         "audio_dropout": jax.random.fold_in(rng, 3),
     }
-    variables = model.init(rngs, batch, train=False)
+    # init must run jitted: unjitted tracing dispatches thousands of tiny
+    # ops to the device individually (minutes over a TPU tunnel)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -69,7 +69,7 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
                 )
                 for m in modality
             }
-            variables = model.init(
+            variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
                 {
                     "params": jrandom.key(0),
                     "dropout": jrandom.key(1),
@@ -77,7 +77,6 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
                     "audio_dropout": jrandom.key(3),
                 },
                 probe,
-                train=False,
             )
             template = TrainState(
                 step=jnp.zeros((), jnp.int32),

@@ -145,7 +145,7 @@ def run_trainer(cfg, logger, modality, writer=None):
 
     from ..models.tbn import TBNModel
 
-    variables = model.init(
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         {
             "params": rng,
             "dropout": jax.random.fold_in(rng, 1),
@@ -153,7 +153,6 @@ def run_trainer(cfg, logger, modality, writer=None):
             "audio_dropout": jax.random.fold_in(rng, 3),
         },
         probe_batch,
-        train=False,
     )
     params = variables["params"]
 

@@ -1,0 +1,166 @@
+"""Attention-weight visualization (offline matplotlib).
+
+Re-implements reference core/tools/vis.py + Visualize.ipynb without the
+qgrid/moviepy interactivity: load a checkpoint, build an action-filtered
+dataset, sweep it to tabulate ground truth / predictions / attention
+entropy, and render per-sample grids (RGB frames, spectrograms, attention
+curves, class-score bars) to PNG.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigNode, load_config
+from ..data.dataset import VideoDataset
+from ..data.loader import collate
+from ..models.builder import build_model
+from ..parallel.train_step import TrainState, make_infer_step
+from ..utils.checkpoint import restore_checkpoint
+
+
+def initialize(config_path_or_overrides=None, checkpoint: Optional[str] = None):
+    """(cfg, model, state): load config + checkpoint for visualization
+    (reference vis.py:314-364)."""
+    if isinstance(config_path_or_overrides, (list, tuple)):
+        cfg = load_config(overrides=config_path_or_overrides)
+    elif isinstance(config_path_or_overrides, ConfigNode):
+        cfg = config_path_or_overrides
+    else:
+        cfg = load_config()
+
+    from ..utils.misc import get_modality
+
+    modality = get_modality(cfg)
+    model, spec = build_model(cfg, modality)
+
+    checkpoint = checkpoint or cfg.get_path("test.pre_trained", "")
+    state = None
+    if checkpoint:
+        if checkpoint.endswith(".pth"):
+            from ..models.convert import convert_tbn_checkpoint, load_torch_file
+
+            params, batch_stats = convert_tbn_checkpoint(
+                load_torch_file(checkpoint), arch=cfg.model.arch
+            )
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=(),
+            )
+        else:
+            raise ValueError(
+                "Orbax checkpoints need a template; use tools.test.run_tester "
+                "or pass a reference .pth"
+            )
+    return cfg, model, modality, state
+
+
+def create_dataset(cfg, modality, action_list=None, annotation_file=None):
+    """Action-filtered eval dataset (reference vis.py:240-311)."""
+    annotation_file = annotation_file or cfg.train.annotation_file
+    vid_list = None
+    if cfg.get_path("val.vid_list"):
+        from ..data.records import read_vid_list, resolve_vid_list_path
+
+        vid_list = read_vid_list(resolve_vid_list_path(cfg.val.vid_list))
+    return VideoDataset(
+        cfg, vid_list, annotation_file, modality, mode="test", action_list=action_list
+    )
+
+
+def get_info(cfg, model, state, dataset, max_samples: Optional[int] = None):
+    """Full no-grad sweep building the summary table (reference vis.py:30-93):
+    one row per sample with gt/pred classes and attention entropy."""
+    infer = make_infer_step(model)
+    rows: List[Dict] = []
+    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    for index in range(n):
+        sample = dataset.sample(index)
+        batch, targets, meta = collate([sample])
+        batch = jax.tree.map(jnp.asarray, batch)
+        preds = infer(state, batch)
+
+        row = {"uid": meta["uid"][0], "vid_id": meta["vid_id"][0]}
+        for key in cfg.model.num_classes.keys():
+            scores = np.asarray(preds[key])[0]
+            row[f"pred_{key}"] = int(scores.argmax())
+            if targets["class"] is not None:
+                row[f"gt_{key}"] = int(targets["class"][key][0])
+        if "weights" in preds:
+            wts = np.asarray(preds["weights"]).reshape(-1, preds["weights"].shape[-1])
+            p = wts + 1e-6
+            p = p / p.sum(-1, keepdims=True)
+            row["attn_entropy"] = float(-(p * np.log(p)).sum(-1).mean())
+        rows.append(row)
+    return rows
+
+
+def visualize(
+    cfg,
+    model,
+    state,
+    dataset,
+    index: int,
+    out_path: str = "results/vis.png",
+):
+    """Render one sample: RGB frames / spectrograms / attention curves /
+    class bars -> PNG (reference vis.py:96-237)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops.spectrogram import spectrogram as spec_fn
+
+    sample = dataset.sample(index)
+    batch, targets, meta = collate([sample])
+    batch_j = jax.tree.map(jnp.asarray, batch)
+    preds = make_infer_step(model)(state, batch_j)
+
+    n_seg = sample["RGB"].shape[0] if "RGB" in sample else sample["Audio"].shape[0]
+    n_rows = sum(k in sample for k in ("RGB", "Audio")) + (
+        1 if "weights" in preds else 0
+    ) + 1
+    fig, axes = plt.subplots(
+        n_rows, n_seg, figsize=(3 * n_seg, 3 * n_rows), squeeze=False
+    )
+    row = 0
+    if "RGB" in sample:
+        for seg in range(n_seg):
+            axes[row][seg].imshow(sample["RGB"][seg][..., ::-1])  # BGR -> RGB
+            axes[row][seg].set_title(f"segment {seg}")
+            axes[row][seg].axis("off")
+        row += 1
+    if "Audio" in sample:
+        specs = np.asarray(spec_fn(jnp.asarray(sample["Audio"])))
+        for seg in range(n_seg):
+            axes[row][seg].imshow(specs[seg], aspect="auto", origin="lower")
+            axes[row][seg].axis("off")
+        row += 1
+    if "weights" in preds:
+        wts = np.asarray(preds["weights"]).reshape(n_seg, -1)
+        for seg in range(n_seg):
+            axes[row][seg].plot(wts[seg])
+            axes[row][seg].set_ylim(0, 1)
+        row += 1
+    for col, key in enumerate(cfg.model.num_classes.keys()):
+        if col >= n_seg:
+            break
+        scores = np.asarray(preds[key])[0]
+        top = np.argsort(scores)[::-1][:5]
+        axes[row][col].bar([str(i) for i in top], scores[top])
+        axes[row][col].set_title(key)
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=80)
+    plt.close(fig)
+    return out_path

@@ -70,23 +70,34 @@ def main():
         "gumbel": jax.random.key(2),
         "audio_dropout": jax.random.key(3),
     }
-    variables = model.init(rngs, batch, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
 
     @jax.jit
-    def forward(variables, batch):
-        return model.apply(variables, batch, train=False)
+    def forward(variables, batch, dep):
+        # dep chains one iteration's output into the next input so the
+        # timed loop cannot overlap or be elided by the async runtime
+        batch = dict(batch)
+        batch["Audio"] = batch["Audio"] + dep
+        out = model.apply(variables, batch, train=False)
+        return out, out["verb"][0, 0] * 1e-12
 
-    # Warmup/compile
-    out = forward(variables, batch)
-    jax.block_until_ready(out)
+    # Warmup/compile (forced completion via host readback — on the
+    # tunneled platform block_until_ready returns before execution ends)
+    out, dep = forward(variables, batch, jnp.float32(0.0))
+    float(out["verb"].sum())
 
-    # Timed runs
-    iters = 10
+    # Calibrate the fetch round-trip latency
+    t0 = time.perf_counter()
+    float(out["verb"][0, 0])
+    fetch_latency = time.perf_counter() - t0
+
+    # Timed runs: serialized chain, one readback at the end
+    iters = 30
     start = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, batch)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+        out, dep = forward(variables, batch, dep)
+    float(out["verb"].sum())
+    elapsed = time.perf_counter() - start - fetch_latency
 
     clips_per_sec = batch_size * iters / elapsed
     n_chips = jax.device_count()
