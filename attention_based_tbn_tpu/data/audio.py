@@ -67,10 +67,15 @@ def read_audio_sample(
         return np.load(os.path.join(root_dir, audio_prefix, f"{vid_id}.npy")).astype(
             np.float32
         )
-    return read_wav(
-        os.path.join(root_dir, audio_prefix, f"{vid_id}.{file_ext}"),
-        target_sr=sampling_rate,
-    )
+    path = os.path.join(root_dir, audio_prefix, f"{vid_id}.{file_ext}")
+    from .. import native as native_io
+
+    if native_io.available():
+        try:
+            return native_io.read_wav(path, target_sr=sampling_rate)
+        except IOError:
+            pass  # non-PCM wav — fall back to the Python reader
+    return read_wav(path, target_sr=sampling_rate)
 
 
 def extract_window(

@@ -59,6 +59,16 @@ class VideoDataset:
         self.mode = mode
         self.transform_enabled = transform
 
+        # Native decode path (libjpeg/pthreads, no GIL) when built; config
+        # can force it off with tpu.native_io=false.
+        from .. import native as native_io
+
+        self.native = (
+            native_io
+            if native_io.available() and cfg.get_path("tpu.native_io", True)
+            else None
+        )
+
         self.num_segments = {
             "train": cfg.train.num_segments,
             "val": cfg.val.num_segments,
@@ -108,26 +118,34 @@ class VideoDataset:
             read_pickle=bool(self.cfg.data.audio.read_audio_pickle),
         )
 
-    def _read_rgb(self, vid_id: str, frame_idx: int) -> np.ndarray:
-        cv2 = _require_cv2()
-        path = os.path.join(
+    def _rgb_path(self, vid_id: str, frame_idx: int) -> str:
+        return os.path.join(
             self.root_dir,
             self.cfg.data.rgb.dir_prefix,
             vid_id,
             "img_{:010d}.{}".format(frame_idx, self.cfg.data.rgb.file_ext),
         )
+
+    def _read_rgb(self, vid_id: str, frame_idx: int) -> np.ndarray:
+        path = self._rgb_path(vid_id, frame_idx)
+        if self.native is not None:
+            return self.native.decode_jpeg_file(path)  # BGR, cv2-compatible
+        cv2 = _require_cv2()
         img = cv2.imread(path)  # BGR, like the reference (dataset.py:305-311)
         if img is None:
             raise IOError(f"Problem reading file {path}")
         return img
 
     def _read_flow_pair(self, vid_id: str, frame_idx: int) -> List[np.ndarray]:
-        cv2 = _require_cv2()
         base = os.path.join(self.root_dir, self.cfg.data.flow.dir_prefix, vid_id)
         ext = self.cfg.data.flow.file_ext
         maps = []
         for axis in ("x", "y"):
             path = os.path.join(base, f"{axis}_{frame_idx:010d}.{ext}")
+            if self.native is not None:
+                maps.append(self.native.decode_jpeg_file(path, grayscale=True))
+                continue
+            cv2 = _require_cv2()
             img = cv2.imread(path, 0)
             if img is None:
                 raise IOError(f"Problem reading file {path}")
