@@ -192,27 +192,36 @@ def mha_pallas(
             + bv_ref[:].astype(f32)
         ).reshape(tile, s, e)
 
-        out_heads = []
-        probs_sum = jnp.zeros((tile, s), f32)
-        for h in range(num_heads):  # static unroll, hd-sized channel slices
-            sl = slice(h * hd, (h + 1) * hd)
-            qh = q[:, sl] * scale  # (tile, hd)
-            kh = k[:, :, sl]  # (tile, s, hd)
-            vh = v[:, :, sl]
-            logits = jnp.sum(kh * qh[:, None, :], axis=-1)  # (tile, s)
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            expl = jnp.exp(logits)
-            probs = expl / jnp.sum(expl, axis=-1, keepdims=True)
-            probs_sum = probs_sum + probs
-            out_heads.append(jnp.sum(vh * probs[:, :, None], axis=1))  # (tile, hd)
+        # Heads without channel slicing: the (E, H) head-indicator matrix
+        # contracts channels onto heads in one MXU pass (per-head slices +
+        # concat compile pathologically in Mosaic).
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (e, num_heads), 0)
+        hidx = jax.lax.broadcasted_iota(jnp.int32, (e, num_heads), 1)
+        head_ind = (cidx // hd == hidx).astype(f32)  # (E, H)
 
-        outh = jnp.concatenate(out_heads, axis=-1)  # (tile, E)
+        prod = (k * q[:, None, :]).reshape(tile * s, e)  # q·k per channel
+        logits = (
+            jnp.dot(prod, head_ind, preferred_element_type=f32).reshape(
+                tile, s, num_heads
+            )
+            * scale
+        )
+        logits = logits - jnp.max(logits, axis=1, keepdims=True)
+        expl = jnp.exp(logits)
+        probs = expl / jnp.sum(expl, axis=1, keepdims=True)  # (tile, s, H)
+
+        # broadcast head probs back to channels and reduce over s
+        probs_c = jnp.dot(
+            probs.reshape(tile * s, num_heads), head_ind.T,
+            preferred_element_type=f32,
+        ).reshape(tile, s, e)
+        outh = jnp.sum(v * probs_c, axis=1)  # (tile, E)
         out = (
             jnp.dot(outh, wo_ref[:, :].astype(f32), preferred_element_type=f32)
             + bo_ref[:].astype(f32)
         )
         out_ref[:, :] = out.astype(out_ref.dtype)
-        wts_ref[:, :] = (probs_sum / num_heads).astype(wts_ref.dtype)
+        wts_ref[:, :] = jnp.mean(probs, axis=2).astype(wts_ref.dtype)
 
     weight_spec = lambda arr: pl.BlockSpec(
         arr.shape, (lambda i: (0, 0)) if arr.ndim == 2 else (lambda i: (0,)),

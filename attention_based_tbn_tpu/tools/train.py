@@ -67,15 +67,25 @@ def _pad_batch(batch, targets, total: int):
 
 
 def train_one_epoch(
-    cfg, state, step_fn, loader, metric, epoch, rng, logger, mesh, device_put
+    cfg, state, step_fn, loader, metric, epoch, rng, logger, mesh, device_put,
+    run_dir=None,
 ):
     no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
     log_interval = max(no_batches // 4, 1)
     loss_tracker = 0.0
     n_devices = mesh.size
 
+    # First-class profiling: capture a device trace of the first N steps of
+    # epoch 0 into the run dir (view with tensorboard / xprof).
+    profile_steps = int(cfg.get_path("tpu.profile_steps", 0) or 0)
+    profiling = profile_steps > 0 and epoch == 0 and run_dir
+    if profiling:
+        jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+
+    step_times = []
     loader.set_epoch(epoch)
     for iter_no, (batch, targets, _) in enumerate(loader):
+        step_start = time.perf_counter()
         true_bs = int(next(iter(targets["class"].values())).shape[0])
         padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
         if padded != true_bs:
@@ -86,14 +96,26 @@ def train_one_epoch(
         state, loss, preds = step_fn(state, batch, targets, rng, jnp.asarray(epoch))
         metric.update(preds, targets, loss, batch_size=true_bs)
         loss_tracker += float(loss["total"])
+        step_times.append(time.perf_counter() - step_start)
+
+        if profiling and iter_no + 1 == profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info(f"Saved device trace to {run_dir}/profile")
 
         if iter_no == 0 or (iter_no + 1) % log_interval == 0:
             logger.info(
-                "Batch Progress: [{}/{}] || Train Loss: {:.5f}".format(
-                    iter_no + 1, no_batches, loss_tracker / (iter_no + 1)
+                "Batch Progress: [{}/{}] || Train Loss: {:.5f} || "
+                "{:.3f} s/step".format(
+                    iter_no + 1,
+                    no_batches,
+                    loss_tracker / (iter_no + 1),
+                    float(np.mean(step_times[-log_interval:])),
                 )
             )
 
+    if profiling:
+        jax.profiler.stop_trace()
     train_loss, _, _ = metric.compute()
     return state, train_loss
 
@@ -213,6 +235,7 @@ def run_trainer(cfg, logger, modality, writer=None):
         state, train_loss = train_one_epoch(
             cfg, state, train_step, train_loader, metric, epoch,
             jax.random.fold_in(rng, epoch), logger, mesh, device_put,
+            run_dir=cfg.get_path("run_dir"),
         )
         train_loss_hist.append(train_loss)
 

@@ -77,9 +77,12 @@ class Metric:
             if batch_size is None:
                 batch_size = int(labels.shape[0])
             corr, top1 = topk_correct(preds[key], labels, self.maxk)
-            correct[key] = np.asarray(corr)
+            # predictions may carry mesh-padding rows; keep the true batch
+            correct[key] = np.asarray(corr)[:, :batch_size]
             confusion_update(
-                self.conf_mat[key], np.asarray(labels), np.asarray(top1)
+                self.conf_mat[key],
+                np.asarray(labels)[:batch_size],
+                np.asarray(top1)[:batch_size],
             )
             if key in batch_loss:
                 self.loss[key] += float(batch_loss[key])

@@ -37,6 +37,7 @@ def main(argv=None):
 
     modality = get_modality(cfg)
     run_dir = make_run_dir(cfg)
+    cfg.run_dir = run_dir
     logger, writer = setup_log(modality, run_dir)
 
     logger.info("Initializing the pipeline...")

@@ -16,7 +16,11 @@ from attention_based_tbn_tpu.data import synthetic
 def fixture_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("epic_e2e")
     videos = synthetic.generate(
-        str(root), videos=["P01_01", "P02_03"], frames_per_video=90
+        str(root),
+        videos=["P01_01", "P02_03"],
+        frames_per_video=90,
+        num_verbs=11,
+        num_nouns=13,
     )
     return str(root), videos
 

@@ -1,0 +1,82 @@
+"""Visualization tool smoke tests over the synthetic fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.data import synthetic
+from attention_based_tbn_tpu.data.dataset import VideoDataset
+from attention_based_tbn_tpu.models.builder import build_model
+from attention_based_tbn_tpu.parallel.train_step import TrainState
+from attention_based_tbn_tpu.tools import vis
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("epic_vis")
+    videos = synthetic.generate(
+        str(root), videos=["P01_01"], frames_per_video=60,
+        num_verbs=7, num_nouns=9,
+    )
+    cfg = load_config(
+        overrides=[
+            f"data_dir={root}",
+            f"out_dir={root}",
+            "data.flow.enable=False",
+            "data.audio.audio_length=1.279",
+            "data.test_scale_size=80",
+            "data.test_crop_size=64",
+            "model.num_classes={verb: 7, noun: 9}",
+            "model.pretrained=False",
+            "test.num_segments=2",
+            "num_workers=1",
+        ]
+    )
+    modality = ["RGB", "Audio"]
+    model, spec = build_model(cfg, modality)
+    dataset = VideoDataset(
+        cfg, videos, "annotations/epic_train_val.csv", modality, mode="test"
+    )
+
+    from attention_based_tbn_tpu.data.loader import collate
+
+    batch, _, _ = collate([dataset.sample(0)])
+    batch = jax.tree.map(jnp.asarray, batch)
+    rngs = {
+        "params": jax.random.key(0),
+        "dropout": jax.random.key(1),
+        "gumbel": jax.random.key(2),
+        "audio_dropout": jax.random.key(3),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=(),
+    )
+    return cfg, model, state, dataset, str(root)
+
+
+def test_get_info(setup):
+    cfg, model, state, dataset, root = setup
+    rows = vis.get_info(cfg, model, state, dataset, max_samples=2)
+    assert len(rows) == 2
+    row = rows[0]
+    assert {"uid", "vid_id", "pred_verb", "gt_verb", "pred_noun"} <= set(row)
+    assert "attn_entropy" in row  # mha attention on by default
+    assert np.isfinite(row["attn_entropy"])
+
+
+def test_visualize_renders_png(setup):
+    cfg, model, state, dataset, root = setup
+    out = vis.visualize(
+        cfg, model, state, dataset, 0, out_path=os.path.join(root, "vis.png")
+    )
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 1000
