@@ -99,19 +99,28 @@ class TorchBatchNorm(nn.Module):
         )
 
         if use_running_average or frozen_stats:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = x.astype(jnp.float32)
-            reduce_axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-            n = 1
-            for axis in reduce_axes:
-                n *= x.shape[axis]
-            unbiased = var * (n / max(n - 1, 1))
-            if not self.is_initializing():
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+            # Inference fast path: fold stats+affine into one per-channel
+            # scale/offset (computed in fp32, applied in the compute dtype).
+            # With bf16 activations this halves the elementwise traffic vs
+            # normalizing in fp32; with fp32 it is exact.
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            offset = bias - ra_mean.value * inv
+            y = x.astype(self.dtype) * inv.astype(self.dtype) + offset.astype(
+                self.dtype
+            )
+            return y
+
+        xf = x.astype(jnp.float32)
+        reduce_axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+        n = 1
+        for axis in reduce_axes:
+            n *= x.shape[axis]
+        unbiased = var * (n / max(n - 1, 1))
+        if not self.is_initializing():
+            ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+            ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         y = (x.astype(jnp.float32) - mean) * inv + bias
