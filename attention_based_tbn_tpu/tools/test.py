@@ -23,7 +23,6 @@ from ..data.records import read_vid_list, resolve_vid_list_path
 from ..models.builder import build_model
 from ..parallel.mesh import make_mesh
 from ..parallel.train_step import TrainState, make_eval_step, make_infer_step
-from ..utils.checkpoint import restore_checkpoint
 from ..utils.metrics import Metric
 from ..utils.misc import get_time_diff, save_scores
 from .train import _device_put_factory, _pad_batch
@@ -57,34 +56,15 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
                 opt_state=(),
             )
         else:
-            import jax.random as jrandom
+            from ..utils.checkpoint import restore_for_eval
 
-            # template init for orbax restore
-            annotation = cfg.test.annotation_file
-            probe = {
-                m: jnp.zeros(
-                    (1, int(cfg.test.num_segments))
-                    + _probe_shape(cfg, m),
-                    jnp.float32 if m == "Audio" else jnp.uint8,
-                )
-                for m in modality
-            }
-            variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-                {
-                    "params": jrandom.key(0),
-                    "dropout": jrandom.key(1),
-                    "gumbel": jrandom.key(2),
-                    "audio_dropout": jrandom.key(3),
-                },
-                probe,
-            )
-            template = TrainState(
+            params, batch_stats, _ = restore_for_eval(cfg.test.pre_trained)
+            state = TrainState(
                 step=jnp.zeros((), jnp.int32),
-                params=variables["params"],
-                batch_stats=variables.get("batch_stats", {}),
+                params=jax.tree.map(jnp.asarray, params),
+                batch_stats=jax.tree.map(jnp.asarray, batch_stats),
                 opt_state=(),
             )
-            state, _ = restore_checkpoint(cfg.test.pre_trained, template)
         logger.info("Done.")
 
     eval_step = make_eval_step(model, cfg, mesh)
@@ -181,10 +161,3 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
     logger.info(f"Inference time: {hours} hours, {minutes} minutes, {seconds} seconds")
     return all_results
 
-
-def _probe_shape(cfg, modality: str):
-    if modality == "Audio":
-        return (int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate),)
-    crop = int(cfg.data.test_crop_size)
-    channels = 3 if modality == "RGB" else 2 * int(cfg.data.flow.win_length)
-    return (crop, crop, channels)

@@ -54,6 +54,27 @@ def save_checkpoint(
         json.dump(history, handle)
 
 
+def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
+    """Template-free restore for inference: (params, batch_stats, history).
+
+    Restores the raw pytree (optimizer state included but returned as plain
+    containers and ignored), so evaluation doesn't need to reconstruct the
+    optimizer to match the saved structure.
+    """
+    path = os.path.abspath(path)
+    checkpointer = ocp.StandardCheckpointer()
+    tree = checkpointer.restore(path)
+    params = tree["params"]
+    batch_stats = tree.get("batch_stats", {})
+
+    history: Dict = {}
+    hist_path = _history_path(path)
+    if os.path.exists(hist_path):
+        with open(hist_path) as handle:
+            history = json.load(handle)
+    return params, batch_stats, history
+
+
 def restore_checkpoint(path: str, abstract_state) -> Tuple[Any, Dict]:
     """Restore (state, history). ``abstract_state`` is a matching pytree
     (e.g. a freshly created TrainState) used as the restore template."""

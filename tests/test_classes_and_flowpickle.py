@@ -1,0 +1,75 @@
+"""EpicClasses metadata and the flow-pickle dataset path."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.data import synthetic
+from attention_based_tbn_tpu.data.classes import EpicClasses
+from attention_based_tbn_tpu.data.dataset import VideoDataset
+
+
+class TestEpicClasses:
+    @pytest.fixture
+    def ann_dir(self, tmp_path):
+        pd.DataFrame(
+            {
+                "verb_id": [0, 1, 2],
+                "class_key": ["take", "put", "open"],
+                "verbs": ["['take', 'grab']", "['put', 'place']", "['open']"],
+            }
+        ).to_csv(tmp_path / "EPIC_verb_classes.csv", index=False)
+        pd.DataFrame(
+            {
+                "noun_id": [0, 1],
+                "class_key": ["door", "cup"],
+                "nouns": ["['door']", "['cup', 'mug']"],
+            }
+        ).to_csv(tmp_path / "EPIC_noun_classes.csv", index=False)
+        return str(tmp_path)
+
+    def test_synonym_lookup(self, ann_dir):
+        classes = EpicClasses(ann_dir)
+        assert classes.verb_id("take") == 0
+        assert classes.verb_id("grab") == 0  # synonym
+        assert classes.verb_id("open") == 2
+        assert classes.noun_id("mug") == 1
+        assert classes.action_id_string("put", "door") == "1,0"
+
+
+class TestFlowPickle:
+    def test_dataset_reads_npz_stacks(self, tmp_path):
+        videos = synthetic.generate(
+            str(tmp_path), videos=["P01_01"], frames_per_video=60,
+            num_verbs=5, num_nouns=5,
+        )
+        # build npz stacks from the generated x_/y_ jpgs
+        from attention_based_tbn_tpu.preprocessing import create_flow_pickle
+
+        create_flow_pickle.main(
+            [
+                "--in_dir", os.path.join(str(tmp_path), "links"),
+                "--out_dir", os.path.join(str(tmp_path), "flow_pickle"),
+                "--win_length", "5",
+                "--workers", "1",
+            ]
+        )
+
+        cfg = load_config(
+            overrides=[
+                f"data_dir={tmp_path}",
+                "data.flow.read_flow_pickle=true",
+                "data.flow.dir_prefix=flow_pickle",
+                "model.attention.enable=False",
+                "train.num_segments=2",
+            ]
+        )
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["Flow"], mode="train"
+        )
+        sample = ds.sample(0, np.random.default_rng(0))
+        assert sample["Flow"].shape == (2, 224, 224, 10)
+        assert sample["Flow"].dtype == np.uint8
