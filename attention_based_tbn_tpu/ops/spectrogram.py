@@ -119,6 +119,41 @@ def frame_signal(padded: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jn
     return padded[..., idx]
 
 
+def _stft_power_conv(
+    signal_2d: jnp.ndarray,  # (B, L)
+    n_fft: int,
+    win_length: int,
+    hop: int,
+    compute_dtype,
+) -> jnp.ndarray:
+    """Windowed-DFT power via one strided 1-D convolution: (B, T, n_bins).
+
+    spec[b, k, t] = sum_n basis[n, k] * padded[b, t*hop + n] is exactly a
+    conv with kernel length n_fft, stride hop, and 2*n_bins output channels
+    (cos || sin). This avoids the overlapping-frame gather (a slow TPU op
+    that would materialize a (B, T, n_fft) tensor in HBM).
+    """
+    pad = n_fft // 2
+    padded = jnp.pad(signal_2d.astype(compute_dtype), ((0, 0), (pad, pad)))
+    cos_b, sin_b = dft_basis(n_fft, win_length)
+    n_bins = cos_b.shape[1]
+    kernel = jnp.asarray(
+        np.concatenate([cos_b, sin_b], axis=1)[:, None, :], dtype=compute_dtype
+    )  # (n_fft, 1, 2*n_bins) WIO
+
+    out = jax.lax.conv_general_dilated(
+        padded[:, :, None],  # (B, L_pad, 1) NWC
+        kernel,
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=_mm_precision(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )  # (B, T, 2*n_bins)
+    re, im = out[..., :n_bins], out[..., n_bins:]
+    return re * re + im * im  # (B, T, n_bins) fp32
+
+
 def log_power_stft(
     signal: jnp.ndarray,
     sr: int = 24000,
@@ -135,22 +170,13 @@ def log_power_stft(
     """
     win_length = int(round(window_ms * sr / 1e3))
     hop = int(round(hop_ms * sr / 1e3))
-    signal = signal.astype(compute_dtype)
-    pad = n_fft // 2
-    padded = jnp.pad(
-        signal, [(0, 0)] * (signal.ndim - 1) + [(pad, pad)], mode="constant"
+    lead = signal.shape[:-1]
+    power = _stft_power_conv(
+        signal.reshape((-1, signal.shape[-1])), n_fft, win_length, hop, compute_dtype
     )
-    n_frames = num_frames(signal.shape[-1], n_fft, hop)
-    frames = frame_signal(padded, n_fft, hop, n_frames)
-
-    cos_b, sin_b = dft_basis(n_fft, win_length)
-    cos_b = jnp.asarray(cos_b, dtype=compute_dtype)
-    sin_b = jnp.asarray(sin_b, dtype=compute_dtype)
-    re = jnp.matmul(frames, cos_b, preferred_element_type=jnp.float32, precision=_mm_precision(compute_dtype))
-    im = jnp.matmul(frames, sin_b, preferred_element_type=jnp.float32, precision=_mm_precision(compute_dtype))
-    power = re * re + im * im  # (..., n_frames, n_bins)
-    spec = jnp.log(power + eps)
-    return jnp.swapaxes(spec, -1, -2)  # (..., n_bins, n_frames)
+    spec = jnp.log(power + eps)  # (B, T, n_bins)
+    spec = jnp.swapaxes(spec, -1, -2)  # (B, n_bins, T)
+    return spec.reshape(lead + spec.shape[1:])
 
 
 def log_mel_spectrogram(
@@ -167,28 +193,25 @@ def log_mel_spectrogram(
     with ref=max (per-sample max over all axes), amin=1e-10, top_db=80."""
     win_length = int(round(window_ms * sr / 1e3))
     hop = int(round(hop_ms * sr / 1e3))
-    signal = signal.astype(compute_dtype)
-    pad = n_fft // 2
-    padded = jnp.pad(
-        signal, [(0, 0)] * (signal.ndim - 1) + [(pad, pad)], mode="constant"
+    lead = signal.shape[:-1]
+    power = _stft_power_conv(
+        signal.reshape((-1, signal.shape[-1])), n_fft, win_length, hop, compute_dtype
+    )  # (B, T, n_bins)
+    mel_b = jnp.asarray(mel_filterbank(sr, n_fft, n_mels), dtype=jnp.float32)
+    mel = jnp.matmul(
+        power, mel_b, preferred_element_type=jnp.float32,
+        precision=_mm_precision(compute_dtype),
     )
-    n_frames = num_frames(signal.shape[-1], n_fft, hop)
-    frames = frame_signal(padded, n_fft, hop, n_frames)
-
-    cos_b, sin_b = dft_basis(n_fft, win_length)
-    mel_b = jnp.asarray(mel_filterbank(sr, n_fft, n_mels), dtype=compute_dtype)
-    prec = _mm_precision(compute_dtype)
-    re = jnp.matmul(frames, jnp.asarray(cos_b, compute_dtype), preferred_element_type=jnp.float32, precision=prec)
-    im = jnp.matmul(frames, jnp.asarray(sin_b, compute_dtype), preferred_element_type=jnp.float32, precision=prec)
-    power = re * re + im * im  # (..., n_frames, n_bins)
-    mel = jnp.matmul(power, mel_b, preferred_element_type=jnp.float32, precision=prec)
-    mel = jnp.swapaxes(mel, -1, -2)  # (..., n_mels, n_frames)
+    mel = jnp.swapaxes(mel, -1, -2)  # (B, n_mels, T)
 
     amin = 1e-10
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel))
     ref = jnp.max(mel, axis=(-2, -1), keepdims=True)
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, ref))
-    return jnp.maximum(log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - top_db)
+    log_spec = jnp.maximum(
+        log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - top_db
+    )
+    return log_spec.reshape(lead + log_spec.shape[1:])
 
 
 def spectrogram(

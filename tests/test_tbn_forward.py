@@ -169,6 +169,25 @@ class TestForward:
         # consensus casts scores to fp32
         assert out["verb"].dtype == jnp.float32
 
+    def test_audio_only_logms(self):
+        # BASELINE config #1: audio-only BN-Inception on 1.279 s log-mel
+        cfg = make_cfg(
+            **{"model.attention.enable": False, "data.audio.spec_type": "logms"}
+        )
+        out = init_and_run(cfg, ["Audio"], make_batch(["Audio"]))
+        assert out["verb"].shape == (B, 125)
+        assert np.all(np.isfinite(np.asarray(out["verb"])))
+
+    def test_trimodal_async_sampling_config(self):
+        # BASELINE config #4: async sampling changes the host sampler only;
+        # the model consumes identical shapes
+        cfg = make_cfg(
+            **{"model.attention.enable": False, "data.sampling": "async"}
+        )
+        modality = ["RGB", "Flow", "Audio"]
+        out = init_and_run(cfg, modality, make_batch(modality))
+        assert out["verb"].shape == (B, 125)
+
     def test_action_head(self):
         cfg = make_cfg(
             **{
