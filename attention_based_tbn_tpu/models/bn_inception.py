@@ -148,7 +148,11 @@ class BNInception(nn.Module):
             b = ConvBN(32, (1, 3), 2, (0, 1), name="conv1_3x1_s2", **kw)(x, **bn_kw)
             y = jnp.concatenate([a, b], axis=-1)
         else:
-            y = ConvBN(64, 7, 2, 3, name="conv1_7x7_s2", **kw)(x, **bn_kw)
+            # space-to-depth stem: exact 7x7/2 rewrite that keeps the MXU
+            # busy despite the 1-10 input channels (see TorchConv)
+            y = ConvBN(
+                64, 7, 2, 3, name="conv1_7x7_s2", space_to_depth=True, **kw
+            )(x, **bn_kw)
         y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
         y = ConvBN(64, 1, name="conv2_3x3_reduce", **kw)(y, **bn_kw)
         y = ConvBN(192, 3, padding=1, name="conv2_3x3", **kw)(y, **bn_kw)

@@ -27,6 +27,11 @@ class TorchConv(nn.Module):
 
     Kernel is HWIO; converted torch weights (OIHW) are transposed by
     models/convert.py. Parameters stay fp32; compute runs in ``dtype``.
+
+    ``space_to_depth=True`` rewrites a 7x7/2/p3 stem conv as an exactly
+    equivalent 4x4/1 conv over the 2x2-space-to-depth input (the MLPerf
+    ResNet "conv0" trick): few-channel stems (1/3/10 inputs) otherwise run
+    the MXU at a fraction of peak. Same parameters, same result.
     """
 
     features: int
@@ -35,6 +40,7 @@ class TorchConv(nn.Module):
     padding: IntPair = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,20 +54,78 @@ class TorchConv(nn.Module):
             (k[0], k[1], in_features, self.features),
             jnp.float32,
         )
+
+        if (
+            self.space_to_depth
+            and k == (7, 7)
+            and s == (2, 2)
+            and p == (3, 3)
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            y = self._s2d_conv(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=s,
+                padding=((p[0], p[0]), (p[1], p[1])),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32
+                if self.dtype == jnp.float32
+                else None,
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y.astype(self.dtype)
+
+    def _s2d_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+        """7x7/2/p3 conv == 4x4/1 conv on the 2x2 space-to-depth input.
+
+        With the input padded by 4 (not 3) on each side, output pixel i
+        draws from s2d rows p' = i..i+3 with original kernel row
+        a = 2*(p'-i) + u - 1 (u = parity), so the transformed kernel is
+        w2[p, q, (u, v, c)] = w[2p+u-1, 2q+v-1, c] (zero out of range).
+        """
+        b, h, w, c = x.shape
+        out_h = (h + 6 - 7) // 2 + 1
+        out_w = (w + 6 - 7) // 2 + 1
+
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (4, 4), (4, 4), (0, 0)))
+        h2, w2_dim = (h + 8) // 2, (w + 8) // 2
+        s2d = (
+            xp.reshape(b, h2, 2, w2_dim, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h2, w2_dim, 4 * c)
+        )
+
+        # transformed kernel (4, 4, 4*C, O); channel packing (u, v, c)
+        w4 = jnp.zeros((4, 4, 2, 2, c, kernel.shape[-1]), kernel.dtype)
+        for p_rel in range(4):
+            for u in range(2):
+                a = 2 * p_rel + u - 1
+                if not 0 <= a < 7:
+                    continue
+                for q_rel in range(4):
+                    for v in range(2):
+                        bcol = 2 * q_rel + v - 1
+                        if not 0 <= bcol < 7:
+                            continue
+                        w4 = w4.at[p_rel, q_rel, u, v].set(kernel[a, bcol])
+        w4 = w4.reshape(4, 4, 4 * c, kernel.shape[-1])
+
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=s,
-            padding=((p[0], p[0]), (p[1], p[1])),
+            s2d,
+            w4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32
             if self.dtype == jnp.float32
             else None,
         )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias.astype(y.dtype)
-        return y.astype(self.dtype)
+        return y[:, :out_h, :out_w, :]
 
 
 class TorchBatchNorm(nn.Module):
@@ -136,6 +200,7 @@ class ConvBN(nn.Module):
     padding: IntPair = 0
     relu: bool = True
     dtype: Dtype = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(
@@ -148,6 +213,7 @@ class ConvBN(nn.Module):
             self.padding,
             use_bias=True,
             dtype=self.dtype,
+            space_to_depth=self.space_to_depth,
             name="conv",
         )(x)
         y = TorchBatchNorm(dtype=self.dtype, name="bn")(

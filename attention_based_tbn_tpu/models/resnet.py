@@ -91,7 +91,9 @@ class ResNet(nn.Module):
         block_type, layer_sizes, expansion = RESNET_CONFIGS[self.depth]
         kw = dict(dtype=self.dtype)
 
-        y = TorchConv(64, 7, 2, 3, use_bias=False, name="conv1", **kw)(x)
+        y = TorchConv(
+            64, 7, 2, 3, use_bias=False, space_to_depth=True, name="conv1", **kw
+        )(x)
         y = TorchBatchNorm(name="bn1", **kw)(y, use_running_average=not train)
         y = nn.relu(y)
         y = max_pool2d(y, 3, 2, 1)

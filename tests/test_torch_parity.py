@@ -117,6 +117,41 @@ class TestConv:
         np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref), rtol=2e-4, atol=2e-4)
 
 
+class TestSpaceToDepthConv:
+    @pytest.mark.parametrize(
+        "cin,h,w",
+        [(3, 224, 224), (1, 256, 420), (10, 224, 224), (3, 64, 64)],
+    )
+    def test_s2d_stem_matches_torch(self, cin, h, w):
+        torch.manual_seed(7)
+        conv = torch.nn.Conv2d(cin, 64, 7, stride=2, padding=3, bias=True)
+        x = torch.randn(2, cin, h, w)
+        ref = conv(x)
+        params = {
+            "kernel": t2j(conv.weight.permute(2, 3, 1, 0)),
+            "bias": t2j(conv.bias),
+        }
+        ours = TorchConv(64, 7, 2, 3, space_to_depth=True).apply(
+            {"params": params}, jnp.asarray(to_nhwc(x))
+        )
+        assert ours.shape == to_nhwc(ref).shape
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref), rtol=2e-4, atol=2e-4)
+
+    def test_odd_input_falls_back(self):
+        torch.manual_seed(8)
+        conv = torch.nn.Conv2d(3, 8, 7, stride=2, padding=3)
+        x = torch.randn(1, 3, 57, 63)  # odd dims -> plain conv path
+        ref = conv(x)
+        params = {
+            "kernel": t2j(conv.weight.permute(2, 3, 1, 0)),
+            "bias": t2j(conv.bias),
+        }
+        ours = TorchConv(8, 7, 2, 3, space_to_depth=True).apply(
+            {"params": params}, jnp.asarray(to_nhwc(x))
+        )
+        np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref), rtol=2e-4, atol=2e-4)
+
+
 class TestBatchNorm:
     def _setup(self):
         torch.manual_seed(1)
