@@ -100,20 +100,21 @@ class TorchConv(nn.Module):
             .reshape(b, h2, w2_dim, 4 * c)
         )
 
-        # transformed kernel (4, 4, 4*C, O); channel packing (u, v, c)
-        w4 = jnp.zeros((4, 4, 2, 2, c, kernel.shape[-1]), kernel.dtype)
-        for p_rel in range(4):
-            for u in range(2):
-                a = 2 * p_rel + u - 1
-                if not 0 <= a < 7:
-                    continue
-                for q_rel in range(4):
-                    for v in range(2):
-                        bcol = 2 * q_rel + v - 1
-                        if not 0 <= bcol < 7:
-                            continue
-                        w4 = w4.at[p_rel, q_rel, u, v].set(kernel[a, bcol])
-        w4 = w4.reshape(4, 4, 4 * c, kernel.shape[-1])
+        # transformed kernel (4, 4, 4*C, O); channel packing (u, v, c).
+        # Static-index gather: a(p,u) = 2p + u - 1 (rows), same for columns.
+        import numpy as _np
+
+        idx = 2 * _np.arange(4)[:, None] + _np.arange(2)[None, :] - 1  # (4, 2)
+        valid = ((idx >= 0) & (idx < 7)).astype(_np.float32)
+        clipped = _np.clip(idx, 0, 6)
+        w_sel = kernel[clipped.reshape(-1)][:, clipped.reshape(-1)]  # (8, 8, C, O)
+        w_sel = w_sel.reshape(4, 2, 4, 2, c, kernel.shape[-1])
+        mask = jnp.asarray(
+            (valid.reshape(4, 2, 1, 1) * valid.reshape(1, 1, 4, 2))[..., None, None]
+        )
+        w4 = (w_sel * mask).transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c, kernel.shape[-1]
+        )
 
         y = jax.lax.conv_general_dilated(
             s2d,
