@@ -65,28 +65,38 @@ def load_pretrained_towers(
     from .convert import adapt_first_conv, convert_bninception, load_torch_file
 
     weights_dir = _weights_dir(cfg)
-    files = {
-        "RGB": os.path.join(weights_dir, "imagenet_bninception_rgb.pth"),
-        "Audio": os.path.join(weights_dir, "imagenet_bninception_rgb.pth"),
-        "Flow": os.path.join(weights_dir, "kinetics_bninception_flow.pth"),
+    stems = {
+        "RGB": "imagenet_bninception_rgb",
+        "Audio": "imagenet_bninception_rgb",
+        "Flow": "kinetics_bninception_flow",
     }
 
     for m in modality:
         tower = f"Base_{m}"
-        path = files[m]
-        if not os.path.exists(path):
+        stem = os.path.join(weights_dir, stems[m])
+        npz_path, pth_path = stem + ".npz", stem + ".pth"
+        if os.path.exists(npz_path):
+            # pre-converted native weights (models/convert_cli.py) —
+            # no torch dependency at train time
+            from .convert_cli import load_npz
+
+            t_params, t_stats = load_npz(npz_path)
+            loaded = os.path.basename(npz_path)
+        elif os.path.exists(pth_path):
+            t_params, t_stats = convert_bninception(load_torch_file(pth_path))
+            loaded = os.path.basename(pth_path)
+        else:
             if logger:
                 logger.warning(
-                    f"Pretrained weights {path} not found; {tower} keeps random init"
+                    f"Pretrained weights {stem}.{{npz,pth}} not found; "
+                    f"{tower} keeps random init"
                 )
             continue
-        state_dict = load_torch_file(path)
-        t_params, t_stats = convert_bninception(state_dict)
-        if m == "Audio":
+        if m == "Audio" and t_params["conv1_7x7_s2"]["conv"]["kernel"].shape[2] != 1:
             adapt_first_conv(t_params, in_channels=1)
         params[tower] = t_params
         batch_stats[tower] = t_stats
         if logger:
-            logger.info(f"{tower} initialized from {os.path.basename(path)}")
+            logger.info(f"{tower} initialized from {loaded}")
 
     return params, batch_stats
