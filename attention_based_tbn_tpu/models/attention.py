@@ -90,12 +90,14 @@ class PositionalEncoding(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: (B, S, C)
         b, s, c = x.shape
         table = jnp.asarray(positional_encoding_table(self.dim_size, self.max_len))
 
-        if self.encoding_type == "concat" and self.use_pallas:
+        # The fused kernel has no VJP — inference only; training uses the
+        # jnp composition so gradients flow.
+        if self.encoding_type == "concat" and self.use_pallas and not train:
             from ..ops.pallas_kernels import pe_block_pallas
 
             conv_k, conv_b = LinearParams(
@@ -149,13 +151,13 @@ class MultiheadAttention(nn.Module):
         head_dim = e // h
         kw = dict(dtype=self.dtype)
 
-        # Fused Pallas path: single query position, key==value, no dropout
-        # active (eval, or dropout_rate 0) — the TBN audio-attention case.
+        # Fused Pallas path (no VJP — inference only): single query
+        # position, key==value — the TBN audio-attention case.
         if (
             self.use_pallas
             and query.shape[1] == 1
             and key is value
-            and (not train or self.dropout_rate == 0.0)
+            and not train
         ):
             from ..ops.pallas_kernels import mha_pallas
 

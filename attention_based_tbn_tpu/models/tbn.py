@@ -310,7 +310,7 @@ class TBNModel(nn.Module):
                 dtype=dtype,
                 use_pallas=self.pallas_active,
                 name="pe",
-            )(feature)
+            )(feature, train=train)
             out, wts = MultiheadAttention(
                 embed_dim=1024,
                 num_heads=spec.attn_heads,
