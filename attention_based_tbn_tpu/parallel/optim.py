@@ -132,24 +132,12 @@ def build_optimizer(cfg, params: Dict, modality) -> Tuple[optax.GradientTransfor
     return tx, labels
 
 
-def set_learning_rate(opt_state, lr: float):
-    """Retune the injected LR inside (possibly MultiSteps-wrapped) state."""
-    def update(node):
-        if isinstance(node, optax.InjectStatefulHyperparamsState) or hasattr(
-            node, "hyperparams"
-        ):
-            node.hyperparams["learning_rate"] = jax.numpy.asarray(
-                lr, dtype=node.hyperparams["learning_rate"].dtype
-            )
-            return True
-        return False
-
+def _find_hyperparam_nodes(opt_state):
+    """All inject_hyperparams states carrying a learning_rate entry."""
     found = []
 
     def walk(node):
-        if hasattr(node, "hyperparams") and "learning_rate" in getattr(
-            node, "hyperparams", {}
-        ):
+        if "learning_rate" in getattr(node, "hyperparams", {}):
             found.append(node)
             return
         if hasattr(node, "_fields"):  # NamedTuple
@@ -165,8 +153,16 @@ def set_learning_rate(opt_state, lr: float):
     walk(opt_state)
     if not found:
         raise ValueError("No injected learning_rate found in optimizer state")
-    new_states = []
-    for node in found:
+    return found
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Retune the injected LR inside (possibly MultiSteps-wrapped) state.
+
+    Mutates the hyperparams dict in place (torch-scheduler style, once per
+    epoch on the host); the jitted step reads the new value on its next call.
+    """
+    for node in _find_hyperparam_nodes(opt_state):
         node.hyperparams["learning_rate"] = jax.numpy.asarray(
             lr, dtype=node.hyperparams["learning_rate"].dtype
         )
@@ -174,25 +170,4 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def current_learning_rate(opt_state) -> float:
-    value = []
-
-    def walk(node):
-        if hasattr(node, "hyperparams") and "learning_rate" in getattr(
-            node, "hyperparams", {}
-        ):
-            value.append(float(node.hyperparams["learning_rate"]))
-            return
-        if hasattr(node, "_fields"):
-            for field in node._fields:
-                walk(getattr(node, field))
-        elif isinstance(node, (list, tuple)):
-            for item in node:
-                walk(item)
-        elif isinstance(node, dict):
-            for item in node.values():
-                walk(item)
-
-    walk(opt_state)
-    if not value:
-        raise ValueError("No injected learning_rate found in optimizer state")
-    return value[0]
+    return float(_find_hyperparam_nodes(opt_state)[0].hyperparams["learning_rate"])
