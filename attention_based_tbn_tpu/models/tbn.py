@@ -134,6 +134,18 @@ class TBNSpec:
                 "learned attention needs a visual query modality; "
                 "audio-only supports attention.use_fixed only"
             )
+        if (
+            self.attention_enable
+            and "Audio" in self.modality
+            and self.arch != "bninception"
+        ):
+            # only the BN-Inception audio tower keeps its temporal axis
+            # (frequency-only pooling); same constraint as the reference
+            # (bn_inception.py:16-35 — resnet/vgg towers always global-pool)
+            raise ValueError(
+                "audio attention requires arch=bninception "
+                "(resnet/vgg towers have no temporal feature axis)"
+            )
         if self.attention_enable and self.attention_type not in (
             "mha",
             "unimodal",
