@@ -261,6 +261,12 @@ class VideoDataset:
             return T.train_visual_transform(
                 frames, int(data.train_crop_size), scales, 0.5, rng
             )
+        if self.mode == "test" and self.cfg.get_path("test.ten_crop", False):
+            # 10-crop eval (5 locations x hflip); the model tiles the audio
+            # feature to match (reference transform.py FixedCrop +
+            # model.py:243-248 — commented out at the reference call sites)
+            rescaled = T.rescale(frames, int(data.test_scale_size))
+            return T.ten_crop(rescaled, int(data.test_crop_size))
         return T.eval_visual_transform(
             frames, int(data.test_scale_size), int(data.test_crop_size)
         )

@@ -218,6 +218,7 @@ def run_trainer(cfg, logger, modality, writer=None):
 
     train_step = make_train_step(model, tx, cfg, mesh)
     eval_step = make_eval_step(model, cfg, mesh)
+    best_acc = float("-inf")
 
     plotter = Plotter(writer)
     plotter.add_config(cfg)
@@ -259,6 +260,24 @@ def run_trainer(cfg, logger, modality, writer=None):
             val_acc_hist,
             conf_mat,
         )
+        # best-accuracy checkpoint (the reference has this commented out,
+        # train.py:297-310; opt-in here via train.save_best)
+        if (
+            cfg.get_path("train.save_best", False)
+            and cfg.val.enable
+            and val_acc
+            and val_acc.get("all_class", val_acc.get("verb"))[0] > best_acc
+        ):
+            best_acc = val_acc.get("all_class", val_acc.get("verb"))[0]
+            save_checkpoint(
+                checkpoint + "_best",
+                state,
+                epoch,
+                train_loss_hist,
+                val_loss_hist,
+                val_acc_hist,
+                conf_mat,
+            )
 
         plotter.plot_scalar(lr, epoch, "train/learning_rate")
         for key, value in train_loss.items():
