@@ -23,8 +23,8 @@ Layouts: RGB (B, N, H, W, 3); Flow (B, N, H, W, 2*win); Audio waveform
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Mapping, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp

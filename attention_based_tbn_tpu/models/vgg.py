@@ -8,7 +8,7 @@ Linear+ReLU+Dropout stages are kept, like the reference.
 
 from __future__ import annotations
 
-from typing import Any, Tuple, Union
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

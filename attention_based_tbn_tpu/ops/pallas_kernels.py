@@ -24,7 +24,6 @@ hop-sized (120-sample) lane slices Mosaic cannot index efficiently.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence, Tuple
 
 import jax

@@ -18,7 +18,7 @@ can retune it per epoch (torch-scheduler style) without recompilation.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import optax

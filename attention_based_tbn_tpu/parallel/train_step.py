@@ -10,8 +10,7 @@ gradients and the global BN statistics.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Any, Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
