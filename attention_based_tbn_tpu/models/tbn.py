@@ -72,6 +72,10 @@ class TBNSpec:
     compute_dtype: str = "float32"
     # Pallas kernels for STFT / PE-block / MHA (TPU only; jnp elsewhere).
     use_pallas: bool = False
+    # Rematerialize tower activations in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for large activation-memory savings, enabling
+    # bigger train batches.
+    remat: bool = False
     # Average features before the heads instead of logits after them —
     # mathematically identical (consensus commutes with linear heads),
     # N x fewer head FLOPs; off by default for strict logits-mean parity.
@@ -113,6 +117,7 @@ class TBNSpec:
             compute_dtype=cfg.get_path("tpu.compute_dtype", "float32") or "float32",
             use_pallas=bool(cfg.get_path("tpu.use_pallas", False)),
             fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
+            remat=bool(cfg.get_path("tpu.remat", False)),
         )
 
     @property
@@ -178,16 +183,24 @@ class TBNModel(nn.Module):
         name = f"Base_{modality}"
         dtype = self.dtype
         if self.spec.arch == "bninception":
-            return BNInception(
+            cls = BNInception
+            kwargs = dict(
                 freq_pool_only=(modality == "Audio" and self.spec.audio_attends),
                 dtype=dtype,
-                name=name,
             )
-        if self.spec.arch == "resnet":
-            return ResNet(depth=self.spec.resnet_depth, dtype=dtype, name=name)
-        if self.spec.arch == "vgg":
-            return VGG(vgg_type=self.spec.vgg_type, dtype=dtype, name=name)
-        raise ValueError(f"Unknown arch {self.spec.arch!r}")
+        elif self.spec.arch == "resnet":
+            cls = ResNet
+            kwargs = dict(depth=self.spec.resnet_depth, dtype=dtype)
+        elif self.spec.arch == "vgg":
+            cls = VGG
+            kwargs = dict(vgg_type=self.spec.vgg_type, dtype=dtype)
+        else:
+            raise ValueError(f"Unknown arch {self.spec.arch!r}")
+        if self.spec.remat:
+            # rematerialize the tower in the backward pass; the train flag
+            # (arg 2 incl. module) must stay static
+            cls = nn.remat(cls, static_argnums=(2,))
+        return cls(name=name, **kwargs)
 
     @nn.compact
     def __call__(
@@ -218,7 +231,9 @@ class TBNModel(nn.Module):
                     x = self._normalize(m, x)
 
             tower = self._make_tower(m)
-            feature = tower(x.astype(dtype), train=train)
+            # positional train flag: nn.remat static_argnums counts
+            # positional args ((module, x, train) -> index 2)
+            feature = tower(x.astype(dtype), train)
 
             if m == "Audio":
                 feature = self._audio_feature(batch, features, feature, b, n, train)
