@@ -85,8 +85,10 @@ def avg_pool2d(
 
     # NOTE: init must be a Python scalar — a traced jnp scalar defeats the
     # add-monoid recognition and breaks reverse-mode AD under jit.
+    # bf16 inputs sum in bf16: the 9-element windows lose ~nothing and the
+    # fp32 upcast doubled pool HBM traffic (visible in device traces).
     summed = jax.lax.reduce_window(
-        x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+        x,
         0.0,
         jax.lax.add,
         window_dimensions=(1, k[0], k[1], 1),

@@ -71,6 +71,15 @@ def main():
         "audio_dropout": jax.random.key(3),
     }
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
+    # Inference-only: carry parameters/statistics in bf16 so every call skips
+    # the fp32->bf16 conversion fusions and halves parameter copy traffic
+    # (confirmed on device traces; training keeps fp32 masters).
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        variables,
+    )
 
     @jax.jit
     def forward(variables, batch, dep):
