@@ -43,7 +43,16 @@ class TorchConv(nn.Module):
     space_to_depth: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        fold_scale: jnp.ndarray = None,
+        fold_offset: jnp.ndarray = None,
+    ) -> jnp.ndarray:
+        """Optional BN folding: with (fold_scale, fold_offset) the conv
+        computes ``conv(x, W*scale) + (b*scale + offset)`` — algebraically
+        BN(conv(x)+b) for inference, removing the separate normalization
+        pass over the activations."""
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         p = _pair(self.padding)
@@ -54,6 +63,8 @@ class TorchConv(nn.Module):
             (k[0], k[1], in_features, self.features),
             jnp.float32,
         )
+        if fold_scale is not None:
+            kernel = kernel * fold_scale  # per-output-channel, fp32
 
         if (
             self.space_to_depth
@@ -77,7 +88,13 @@ class TorchConv(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if fold_scale is not None:
+                bias = bias * fold_scale
+            if fold_offset is not None:
+                bias = bias + fold_offset
             y = y + bias.astype(y.dtype)
+        elif fold_offset is not None:
+            y = y + fold_offset.astype(y.dtype)
         return y.astype(self.dtype)
 
     def _s2d_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -192,8 +209,32 @@ class TorchBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class BNParams(nn.Module):
+    """Declares BatchNorm parameters + running stats without applying —
+    identical tree paths to TorchBatchNorm so checkpoints interchange."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
 class ConvBN(nn.Module):
-    """Conv + BN + optional ReLU — the BN-Inception unit cell."""
+    """Conv + BN + optional ReLU — the BN-Inception unit cell.
+
+    At inference the BN folds into the convolution (per-output-channel
+    kernel scaling + a single bias), eliminating the separate normalization
+    pass over the activations; training keeps the live-statistics path.
+    """
 
     features: int
     kernel_size: IntPair
@@ -202,12 +243,13 @@ class ConvBN(nn.Module):
     relu: bool = True
     dtype: Dtype = jnp.float32
     space_to_depth: bool = False
+    bn_epsilon: float = 1e-5
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False, frozen_stats: bool = False
     ) -> jnp.ndarray:
-        y = TorchConv(
+        conv = TorchConv(
             self.features,
             self.kernel_size,
             self.stride,
@@ -216,10 +258,18 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             space_to_depth=self.space_to_depth,
             name="conv",
-        )(x)
-        y = TorchBatchNorm(dtype=self.dtype, name="bn")(
-            y, use_running_average=not train, frozen_stats=frozen_stats
         )
+
+        if not train:
+            scale, bias, mean, var = BNParams(self.features, name="bn")()
+            fold_scale = jax.lax.rsqrt(var + self.bn_epsilon) * scale
+            fold_offset = bias - mean * fold_scale
+            y = conv(x, fold_scale=fold_scale, fold_offset=fold_offset)
+        else:
+            y = conv(x)
+            y = TorchBatchNorm(dtype=self.dtype, name="bn")(
+                y, use_running_average=False, frozen_stats=frozen_stats
+            )
         if self.relu:
             y = nn.relu(y)
         return y
