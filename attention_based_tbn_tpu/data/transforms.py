@@ -59,10 +59,11 @@ def horizontal_flip(frames: np.ndarray) -> np.ndarray:
     return frames[:, :, ::-1]
 
 
-def fixed_crop_offsets(image_h: int, image_w: int, crop_h: int, crop_w: int,
+def fixed_crop_offsets(image_w: int, image_h: int, crop_w: int, crop_h: int,
                        more_fix_crop: bool = True) -> List[Tuple[int, int]]:
     """TSN fixed offset grid (reference transform.py:389-412): corners,
-    center, and (more_fix_crop) edge/quarter positions. Returns (x, y)."""
+    center, and (more_fix_crop) edge/quarter positions. Returns (x, y);
+    argument order matches the reference's fill_fix_offset."""
     w_step = (image_w - crop_w) / 4
     h_step = (image_h - crop_h) / 4
     ret = [
