@@ -21,6 +21,7 @@ def setup_log(modality: List[str], run_dir: Optional[str] = None):
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
+    logger.propagate = False  # avoid duplicate lines via the root logger
 
     formatter = logging.Formatter(_FORMAT)
     console = logging.StreamHandler()
