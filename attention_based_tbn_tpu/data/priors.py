@@ -26,7 +26,19 @@ def attention_window_size(audio_length: float) -> int:
 
 
 def gaussian_kernel(ksize: int, sigma: float = 1.0) -> np.ndarray:
-    """Normalized 1-D Gaussian identical to cv2.getGaussianKernel(ksize, sigma)."""
+    """Normalized 1-D Gaussian identical to cv2.getGaussianKernel(ksize, sigma).
+
+    Delegates to cv2 when importable (the reference's source of these
+    kernels — attention.py:121-124, dataset.py:545): cv2's *even*-size
+    kernels are not plain sampled Gaussians (the two center taps share a
+    single exp(0)=1 weight), so the analytic restatement below is exact for
+    odd sizes only and serves as the cv2-free fallback."""
+    try:
+        import cv2
+
+        return np.asarray(cv2.getGaussianKernel(int(ksize), float(sigma)))
+    except ImportError:
+        pass
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     positions = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0

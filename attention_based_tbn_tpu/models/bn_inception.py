@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pooling import avg_pool2d, global_avg_pool, max_pool2d
-from .layers import ConvBN
+from .layers import ConvBN, FoldedConvBN, conv2d_apply
 
 Dtype = Any
 
@@ -73,13 +73,28 @@ FEATURE_SIZE = 1024
 
 
 class InceptionBlock(nn.Module):
+    """One Inception-BN block.
+
+    Training applies the live-statistics ConvBN cells branch by branch. At
+    inference every Conv+BN folds to a single (kernel, bias)
+    (layers.FoldedConvBN, exact), and the 1x1 convolutions that read the
+    block input — the 1x1 branch and the two reduce layers — merge into ONE
+    wider 1x1 conv (exact: concatenation along the matmul output dimension).
+    BN-Inception's 64-128-channel reduces otherwise leave the MXU's 128-wide
+    output lanes half empty; merged they fill it (192-352 channels).
+    """
+
     spec: InceptionSpec
     dtype: Dtype = jnp.float32
+    merge_1x1: bool = True
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False, frozen_stats: bool = False
     ) -> jnp.ndarray:
+        if not train:
+            return self._fused_eval(x)
+
         s = self.spec
         kw = dict(dtype=self.dtype)
         bn_kw = dict(train=train, frozen_stats=frozen_stats)
@@ -112,6 +127,59 @@ class InceptionBlock(nn.Module):
 
         return jnp.concatenate(branches, axis=-1)
 
+    def _fused_eval(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
+        dtype = self.dtype
+        in_ch = x.shape[-1]
+
+        # Declaration order matches the training path so init trees agree.
+        k1 = FoldedConvBN(s.b1x1, 1, name="1x1")(in_ch) if s.b1x1 else None
+        kr3 = FoldedConvBN(s.r3x3, 1, name="3x3_reduce")(in_ch)
+        k3 = FoldedConvBN(s.b3x3, 3, name="3x3")(s.r3x3)
+        krd = FoldedConvBN(s.rd3x3, 1, name="double_3x3_reduce")(in_ch)
+        kd1 = FoldedConvBN(s.d3x3, 3, name="double_3x3_1")(s.rd3x3)
+        kd2 = FoldedConvBN(s.d3x3, 3, name="double_3x3_2")(s.d3x3)
+        kproj = FoldedConvBN(s.proj, 1, name="pool_proj")(in_ch) if s.proj else None
+
+        relu = nn.relu
+        if self.merge_1x1:
+            heads = ([k1] if k1 else []) + [kr3, krd]
+            merged_k = jnp.concatenate([k for k, _ in heads], axis=-1)
+            merged_b = jnp.concatenate([b for _, b in heads], axis=-1)
+            merged = relu(conv2d_apply(x, merged_k, merged_b, 1, 0, dtype))
+            sizes = [k.shape[-1] for k, _ in heads]
+            offs = [0]
+            for size in sizes:
+                offs.append(offs[-1] + size)
+            parts = [merged[..., offs[i] : offs[i + 1]] for i in range(len(sizes))]
+            if k1:
+                b1, r3, rd = parts
+            else:
+                b1 = None
+                r3, rd = parts
+        else:
+            b1 = relu(conv2d_apply(x, *k1, 1, 0, dtype)) if k1 else None
+            r3 = relu(conv2d_apply(x, *kr3, 1, 0, dtype))
+            rd = relu(conv2d_apply(x, *krd, 1, 0, dtype))
+
+        branches = []
+        if b1 is not None:
+            branches.append(b1)
+        branches.append(relu(conv2d_apply(r3, *k3, s.stride, 1, dtype)))
+        d = relu(conv2d_apply(rd, *kd1, 1, 1, dtype))
+        branches.append(relu(conv2d_apply(d, *kd2, s.stride, 1, dtype)))
+
+        if kproj:
+            if s.pool == "avg":
+                pooled = avg_pool2d(x, 3, 1, 1, ceil_mode=True, count_include_pad=True)
+            else:
+                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True)
+            branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
+        else:
+            branches.append(max_pool2d(x, 3, s.stride, 0, ceil_mode=True))
+
+        return jnp.concatenate(branches, axis=-1)
+
 
 class BNInception(nn.Module):
     """BN-Inception feature tower.
@@ -132,6 +200,9 @@ class BNInception(nn.Module):
     freq_pool_only: bool = False
     audio_stem: bool = False
     dtype: Dtype = jnp.float32
+    # Merge each block's input-reading 1x1 convs into one conv at inference
+    # (exact; see InceptionBlock). Off switch exists for A/B benchmarking.
+    merge_1x1: bool = True
 
     feature_size: int = FEATURE_SIZE
 
@@ -159,6 +230,8 @@ class BNInception(nn.Module):
         y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
 
         for name, spec in BN_INCEPTION_BLOCKS:
-            y = InceptionBlock(spec, name=name, **kw)(y, **bn_kw)
+            y = InceptionBlock(spec, merge_1x1=self.merge_1x1, name=name, **kw)(
+                y, **bn_kw
+            )
 
         return global_avg_pool(y, freq_only=self.freq_pool_only)

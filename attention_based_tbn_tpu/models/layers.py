@@ -22,6 +22,30 @@ def _pair(v: IntPair) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
 
 
+def conv2d_apply(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray = None,
+    stride: IntPair = 1,
+    padding: IntPair = 0,
+    dtype: Dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Functional nn.Conv2d on NHWC input with an HWIO kernel: explicit
+    symmetric padding, floor output size. Compute runs in ``dtype``."""
+    s, p = _pair(stride), _pair(padding)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=s,
+        padding=((p[0], p[0]), (p[1], p[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if dtype == jnp.float32 else None,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(dtype)
+
+
 class TorchConv(nn.Module):
     """nn.Conv2d equivalent: explicit symmetric padding, floor output size.
 
@@ -226,6 +250,53 @@ class BNParams(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
         return scale, bias, mean.value, var.value
+
+
+class ConvParams(nn.Module):
+    """Declares a TorchConv's (kernel, bias) without applying the conv —
+    identical tree paths so checkpoints interchange with TorchConv."""
+
+    features: int
+    kernel_size: IntPair
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = _pair(self.kernel_size)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (k[0], k[1], in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class FoldedConvBN(nn.Module):
+    """Conv+BN parameter pair folded to a single (kernel, bias) for
+    inference: BN(conv(x, W) + b) == conv(x, W*s) + (b*s + o) with
+    s = scale/sqrt(var+eps), o = bias - mean*s. Declares the exact same
+    parameter/stat tree as ConvBN (children "conv" and "bn"), so the two
+    interchange per call-site based on the train flag.
+
+    Folding kernels (rather than activations) lets callers merge several
+    sibling convs that read the same input into one wider conv — the
+    inception-block 1x1 fan-out — which is exact (concat along the matmul N
+    dimension) and keeps the MXU's 128-lane output dimension full.
+    """
+
+    features: int
+    kernel_size: IntPair
+    bn_epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel, bias = ConvParams(self.features, self.kernel_size, name="conv")(
+            in_features
+        )
+        scale, bn_bias, mean, var = BNParams(self.features, name="bn")()
+        fold = jax.lax.rsqrt(var + self.bn_epsilon) * scale
+        return kernel * fold, bias * fold + (bn_bias - mean * fold)
 
 
 class ConvBN(nn.Module):

@@ -62,6 +62,10 @@ class TBNSpec:
     attn_dropout: float = 0.5
     attn_win: int = 13
     audio_dropout: float = 0.0
+    # Modalities whose BN-Inception tower uses the two-branch (3,1)/(1,3)
+    # audio stem (reference bn_inception_audio.py:11-23). Config key
+    # model.bninception.audio_stem=true selects it for the Audio tower.
+    audio_stem: Tuple[str, ...] = ()
     fusion_dropout: float = 0.5
     resnet_depth: int = 101
     vgg_type: str = "16"
@@ -72,6 +76,9 @@ class TBNSpec:
     compute_dtype: str = "float32"
     # Pallas kernels for STFT / PE-block / MHA (TPU only; jnp elsewhere).
     use_pallas: bool = False
+    # Merge inception-block 1x1 fan-out convs at inference (exact math;
+    # fills the MXU's 128-wide output lanes — see models/bn_inception.py).
+    merge_inception: bool = True
     # Rematerialize tower activations in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for large activation-memory savings, enabling
     # bigger train batches.
@@ -104,6 +111,11 @@ class TBNSpec:
             attn_dropout=float(att.attn_dropout),
             attn_win=attention_window_size(cfg.data.audio.audio_length),
             audio_dropout=float(cfg.data.audio.dropout),
+            audio_stem=(
+                ("Audio",)
+                if cfg.get_path("model.bninception.audio_stem", False)
+                else ()
+            ),
             rgb_mean=tuple(cfg.data.rgb.mean),
             rgb_std=tuple(cfg.data.rgb.std),
             flow_mean=tuple(cfg.data.flow.mean),
@@ -116,6 +128,7 @@ class TBNSpec:
             sampling_rate=int(cfg.data.audio.sampling_rate),
             compute_dtype=cfg.get_path("tpu.compute_dtype", "float32") or "float32",
             use_pallas=bool(cfg.get_path("tpu.use_pallas", False)),
+            merge_inception=bool(cfg.get_path("tpu.merge_inception", True)),
             fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
             remat=bool(cfg.get_path("tpu.remat", False)),
         )
@@ -186,6 +199,8 @@ class TBNModel(nn.Module):
             cls = BNInception
             kwargs = dict(
                 freq_pool_only=(modality == "Audio" and self.spec.audio_attends),
+                audio_stem=(modality in self.spec.audio_stem),
+                merge_1x1=self.spec.merge_inception,
                 dtype=dtype,
             )
         elif self.spec.arch == "resnet":
@@ -239,10 +254,31 @@ class TBNModel(nn.Module):
                 feature = self._audio_feature(batch, features, feature, b, n, train)
                 if isinstance(feature, tuple):
                     feature, att_wts = feature
-                # 10-crop eval: visual streams may carry more crops
+                # 10-crop eval: visual streams carry 10x rows per segment,
+                # ordered crop-major within each sample by the ten_crop
+                # transform: row = loc*2N + seg*2 + flip (transforms.py
+                # ten_crop). Broadcast each (sample, segment) audio feature
+                # to its 10 crop rows so Fusion pairs matching segments.
+                # Documented divergence: the reference's dormant path
+                # (model.py:243-248, call sites commented out) tiles with
+                # ``repeat(new_size, 1)`` — rep-major ordering that pairs
+                # visual row b*10N+loc*2N+seg*2+flip with audio row
+                # rep*BN+b*N+seg, i.e. the wrong sample/segment for any
+                # B>1 or N>1; here the pairing is correct by construction.
                 if m_no > 0 and features and features[0].shape[0] > feature.shape[0]:
                     reps = features[0].shape[0] // feature.shape[0]
-                    feature = jnp.tile(feature, (reps, 1))
+                    n_seg = feature.shape[0] // b
+                    c_feat = feature.shape[-1]
+                    if reps % 2 == 0:
+                        feature = jnp.broadcast_to(
+                            feature.reshape(b, 1, n_seg, 1, c_feat),
+                            (b, reps // 2, n_seg, 2, c_feat),
+                        ).reshape(b * reps * n_seg, c_feat)
+                    else:  # non-ten-crop expansion: plain per-sample repeat
+                        feature = jnp.broadcast_to(
+                            feature.reshape(b, 1, n_seg, c_feat),
+                            (b, reps, n_seg, c_feat),
+                        ).reshape(b * reps * n_seg, c_feat)
 
             features.append(feature)
 
@@ -330,14 +366,23 @@ class TBNModel(nn.Module):
 
         query = features[0]
         if spec.attention_type == "mha":
-            seq = PositionalEncoding(
-                dim_size=10,
-                max_len=spec.attn_win,
-                out_features=1024,
-                dtype=dtype,
-                use_pallas=self.pallas_active,
-                name="pe",
-            )(feature, train=train)
+            if spec.use_pe:
+                seq = PositionalEncoding(
+                    dim_size=10,
+                    max_len=spec.attn_win,
+                    out_features=1024,
+                    dtype=dtype,
+                    use_pallas=self.pallas_active,
+                    name="pe",
+                )(feature, train=train)
+            else:
+                # use_pe=false feeds the raw (B*N, T, 1024) tower feature to
+                # MHA. Documented divergence: the reference constructs no
+                # ``pe`` module in this configuration (model.py:63-67) but
+                # still calls it in forward (model.py:230) — an
+                # AttributeError crash, so there is no torch behavior to
+                # match; skipping the block is the usable semantics.
+                seq = feature
             out, wts = MultiheadAttention(
                 embed_dim=1024,
                 num_heads=spec.attn_heads,

@@ -39,6 +39,13 @@ class Metric:
         self.topk: List[int] = list(cfg.val.topk)
         self.maxk = max(self.topk)
         self.no_batches = max(no_batches, 1)
+        # Batches actually consumed. The reference divides by a *precomputed*
+        # batch count (train.py:61 rounds, train.py:142 floors), which
+        # inflates or deflates every averaged metric whenever the dataset
+        # size doesn't divide the batch size (a floor of 1 with 2 consumed
+        # batches reports 200% top-k). Divergence: compute() prefers the
+        # consumed count when updates happened.
+        self.updates = 0
         self.num_classes: Dict[str, int] = dict(cfg.model.num_classes)
         self.multi_class = len(self.num_classes) > 1
 
@@ -71,6 +78,7 @@ class Metric:
         batch_loss: Mapping[str, jnp.ndarray],
         batch_size: Optional[int] = None,
     ) -> None:
+        self.updates += 1
         correct: Dict[str, np.ndarray] = {}
         for key in self.num_classes:
             labels = jnp.asarray(targets["class"][key])
@@ -104,9 +112,10 @@ class Metric:
                 )
 
     def compute(self):
+        denom = self.updates or self.no_batches
         accuracy = {
-            key: [round(v / self.no_batches, 2) for v in values]
+            key: [round(v / denom, 2) for v in values]
             for key, values in self.accuracy.items()
         }
-        loss = {key: round(v / self.no_batches, 5) for key, v in self.loss.items()}
+        loss = {key: round(v / denom, 5) for key, v in self.loss.items()}
         return loss, accuracy, self.conf_mat

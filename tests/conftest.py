@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # virtual 8-device CPU mesh instead.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: CPU-backend compiles run locally, so the
+# disk cache carries across pytest runs (the big SPMD train-step programs
+# dominate suite time otherwise). Harmless when cold.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

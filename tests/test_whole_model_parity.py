@@ -1,0 +1,355 @@
+"""Whole-model fp32 logit parity against the reference's own PyTorch code.
+
+Op-level parity (tests/test_torch_parity.py) cannot catch composition
+errors — branch order inside a block, a stray eps, pooling placement. These
+tests run the reference's *verbatim* torch modules (imported from
+/root/reference) with random weights, convert the state dict with
+models/convert.py, and assert end-to-end fp32 logit parity:
+
+* the full BN-Inception tower graph via reference
+  core/models/bn_inception_audio.py (self-contained torch: the complete
+  inception 3a..5b stack + ceil-mode pools + attend/global pooling head);
+* the full TBN composition via the reference's real ``TBNModel.forward``
+  (core/models/model.py:205-262) — towers -> PE+MHA / unimodal / proto
+  attention (core/models/attention.py, verbatim) -> fusion -> heads ->
+  consensus — by subclassing TBNModel only to swap the tower factory
+  (``_create_base_model``) for the self-contained tower above.
+
+The reference's pretrainedmodels/torchvision imports (absent here, only
+needed for weight downloads these tests never trigger) are satisfied with
+empty module stubs.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+from types import SimpleNamespace as NS
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_tbn_tpu.models.bn_inception import BNInception
+from attention_based_tbn_tpu.models.convert import (
+    convert_bninception,
+    convert_tbn_checkpoint,
+)
+from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "core", "models")),
+    reason="reference tree unavailable",
+)
+
+
+# ---------------------------------------------------------------------------
+# Reference import machinery
+# ---------------------------------------------------------------------------
+
+
+def _stub_module(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for key, value in attrs.items():
+        setattr(mod, key, value)
+    sys.modules[name] = mod
+    return mod
+
+
+def load_reference_models():
+    """Import /root/reference/core/models as the package ``refmodels``."""
+    if "refmodels.model" in sys.modules:
+        return sys.modules
+
+    _stub_module("torchvision", models=types.ModuleType("torchvision.models"))
+
+    class _StubPtmBNInception(nn.Module):
+        pass
+
+    ptm_bn = _stub_module(
+        "pretrainedmodels.models.bninception", BNInception=_StubPtmBNInception
+    )
+    ptm_models = _stub_module("pretrainedmodels.models", bninception=ptm_bn)
+    _stub_module("pretrainedmodels", models=ptm_models)
+
+    pkg = types.ModuleType("refmodels")
+    pkg.__path__ = [os.path.join(REFERENCE, "core", "models")]
+    sys.modules["refmodels"] = pkg
+
+    for name in ("bn_inception_audio", "attention", "vgg", "resnet",
+                 "bn_inception", "contrast_loss", "model"):
+        path = os.path.join(REFERENCE, "core", "models", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(f"refmodels.{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refmodels.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules
+
+
+def randomize_state_dict(module: nn.Module, seed: int = 0) -> None:
+    """Fill every float tensor with well-scaled random values (conv kernels
+    at 1/sqrt(fan_in), BN affine/stats non-trivial) so the parity check
+    exercises real arithmetic instead of identity BNs."""
+    gen = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    new = {}
+    for key, value in sd.items():
+        if not value.dtype.is_floating_point:
+            new[key] = value
+            continue
+        if key.endswith((".pe", "prototype_wts")):
+            # deterministic buffers the converter regenerates — keep
+            new[key] = value
+            continue
+        if key.endswith("running_var"):
+            new[key] = torch.rand(value.shape, generator=gen) * 1.2 + 0.4
+        elif key.endswith("running_mean"):
+            new[key] = torch.randn(value.shape, generator=gen) * 0.1
+        elif value.ndim == 4:  # conv OIHW
+            fan_in = value.shape[1] * value.shape[2] * value.shape[3]
+            new[key] = torch.randn(value.shape, generator=gen) / np.sqrt(fan_in)
+        elif value.ndim == 2:  # linear (out, in)
+            new[key] = torch.randn(value.shape, generator=gen) / np.sqrt(
+                value.shape[1]
+            )
+        elif key.endswith((".weight",)) and value.ndim == 1:  # norm scale
+            new[key] = torch.rand(value.shape, generator=gen) + 0.5
+        else:  # biases, 1-d buffers
+            new[key] = torch.randn(value.shape, generator=gen) * 0.1
+    module.load_state_dict(new)
+
+
+# Geometry shared by the tests: 64x64 visual crops, (64, 256) audio
+# spectrograms -> tower time axis T' = 8 = attention window; audio_length
+# 1.28 s gives round(1.28 * 25/4) = 8 (reference model.py:60-61).
+H = W = 64
+AF, AT = 64, 256
+ATTN_WIN = 8
+AUDIO_LENGTH = 1.28
+
+
+def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
+                 use_fixed=False, num_classes=None):
+    return NS(
+        model=NS(
+            arch="bninception",
+            num_classes=num_classes or {"verb": 7, "noun": 9},
+            attention=NS(
+                enable=enable,
+                type=attention_type,
+                use_fixed=use_fixed,
+                use_pe=use_pe,
+                attn_heads=4,
+                attn_dropout=0.5,
+                use_gumbel=True,
+            ),
+            agg_type="avg",
+            freeze_base=False,
+            freeze_mode="partialbn",
+            fusion_dropout=0.5,
+            resnet=NS(depth=50),
+            vgg=NS(type="16"),
+        ),
+        data=NS(audio=NS(audio_length=AUDIO_LENGTH, dropout=0.0)),
+    )
+
+
+def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
+                seed=0):
+    mods = load_reference_models()
+    ref_model = mods["refmodels.model"]
+    ref_audio = mods["refmodels.bn_inception_audio"]
+
+    class OracleTBN(ref_model.TBNModel):
+        """Reference TBNModel with the tower factory swapped for the
+        self-contained BNInception_Audio graph (visual stems widened to the
+        modality's channel count). Everything else — __init__ wiring,
+        forward, _aggregate_scores — is the reference's own code."""
+
+        def _create_base_model(self, m):
+            attend = (m == "Audio") and self.use_attention
+            tower = ref_audio.BNInception_Audio(attend=attend)
+            in_ch = {"RGB": 3, "Flow": 10, "Audio": 1}[m]
+            if in_ch != 1:
+                tower.conv1_1x3_s2 = nn.Conv2d(
+                    in_ch, 32, kernel_size=(3, 1), stride=(2, 2), padding=(1, 0)
+                )
+                tower.conv1_3x1_s2 = nn.Conv2d(
+                    in_ch, 32, kernel_size=(1, 3), stride=(2, 2), padding=(0, 1)
+                )
+            tower.feature_size = 1024
+            return tower
+
+    cfg = make_ref_cfg(attention_type=attention_type, enable=enable,
+                       use_pe=use_pe)
+    oracle = OracleTBN(cfg, list(modality), torch.device("cpu"))
+    randomize_state_dict(oracle, seed=seed)
+    return oracle.eval()
+
+
+def make_ours(modality, attention_type="mha", enable=True, use_pe=True):
+    spec = TBNSpec(
+        modality=tuple(modality),
+        arch="bninception",
+        num_classes=(("verb", 7), ("noun", 9)),
+        attention_enable=enable,
+        attention_type=attention_type,
+        use_pe=use_pe,
+        attn_heads=4,
+        attn_win=ATTN_WIN,
+        audio_stem=tuple(modality),  # all towers on the verbatim-graph stem
+        audio_from_waveform=False,
+        compute_dtype="float32",
+    )
+    return TBNModel(spec)
+
+
+def torch_batch(modality, b=2, n=2, seed=1, crops=1):
+    gen = torch.Generator().manual_seed(seed)
+    batch = {}
+    if "RGB" in modality:
+        batch["RGB"] = torch.randn(b, n * crops, 3, H, W, generator=gen)
+    if "Flow" in modality:
+        batch["Flow"] = torch.randn(b, n * crops, 10, H, W, generator=gen)
+    if "Audio" in modality:
+        batch["Audio"] = torch.randn(b, n, 1, AF, AT, generator=gen)
+    return batch
+
+
+def to_jax_batch(batch):
+    out = {}
+    for key, value in batch.items():
+        arr = value.numpy()
+        # NCHW -> NHWC on the per-frame dims
+        out[key] = jnp.asarray(np.transpose(arr, (0, 1, 3, 4, 2)))
+    return out
+
+
+def apply_ours(model, tbatch, oracle):
+    params, stats = convert_tbn_checkpoint(
+        {k: v for k, v in oracle.state_dict().items()}, arch="bninception"
+    )
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    jbatch = to_jax_batch(tbatch)
+    fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    return fn(variables, jbatch)
+
+
+# ---------------------------------------------------------------------------
+# Tower-level parity: the verbatim reference inception graph
+# ---------------------------------------------------------------------------
+
+
+class TestTowerParity:
+    @pytest.mark.parametrize("attend", [False, True])
+    def test_bn_inception_graph(self, attend):
+        mods = load_reference_models()
+        ref = mods["refmodels.bn_inception_audio"].BNInception_Audio(
+            attend=attend
+        )
+        randomize_state_dict(ref, seed=3)
+        ref = ref.eval()
+
+        x = torch.randn(2, 1, AF, AT, generator=torch.Generator().manual_seed(7))
+        with torch.no_grad():
+            want = ref(x).numpy()
+
+        params, stats = convert_bninception(ref.state_dict())
+        ours_model = BNInception(freq_pool_only=attend, audio_stem=True)
+        got = jax.jit(
+            lambda v, x: ours_model.apply(v, x, train=False)
+        )({"params": params, "batch_stats": stats}, jnp.asarray(
+            np.transpose(x.numpy(), (0, 2, 3, 1))
+        ))
+
+        got = np.asarray(got)
+        if attend:
+            # reference (B, 1024, 1, T) vs ours (B, T, 1024)
+            want = np.transpose(want[:, :, 0, :], (0, 2, 1))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full-model parity: the reference's own TBNModel.forward
+# ---------------------------------------------------------------------------
+
+
+def assert_outputs_match(got, oracle_out, rtol=3e-4, atol=3e-4):
+    for key in ("verb", "noun"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]),
+            oracle_out[key].numpy(),
+            rtol=rtol,
+            atol=atol,
+            err_msg=f"head {key}",
+        )
+    if "weights" in oracle_out and "weights" in got:
+        np.testing.assert_allclose(
+            np.asarray(got["weights"]).reshape(-1),
+            oracle_out["weights"].numpy().reshape(-1),
+            rtol=rtol,
+            atol=atol,
+            err_msg="attention weights",
+        )
+
+
+class TestFullModelParity:
+    @pytest.mark.parametrize("attention_type", ["mha", "unimodal", "proto"])
+    def test_rgb_audio_attention(self, attention_type):
+        modality = ("RGB", "Audio")
+        oracle = make_oracle(modality, attention_type=attention_type)
+        tbatch = torch_batch(modality)
+        with torch.no_grad():
+            want = oracle({k: v.clone() for k, v in tbatch.items()})
+
+        ours = make_ours(modality, attention_type=attention_type)
+        got = apply_ours(ours, tbatch, oracle)
+        assert_outputs_match(got, want)
+
+    def test_trimodal_no_attention(self):
+        modality = ("RGB", "Flow", "Audio")
+        oracle = make_oracle(modality, enable=False)
+        tbatch = torch_batch(modality)
+        with torch.no_grad():
+            want = oracle({k: v.clone() for k, v in tbatch.items()})
+
+        ours = make_ours(modality, enable=False)
+        got = apply_ours(ours, tbatch, oracle)
+        assert_outputs_match(got, want)
+
+    def test_ten_crop_alignment(self):
+        """10-crop eval pairs each visual crop row with the SAME sample and
+        segment's audio feature. Oracle: the reference model fed audio
+        pre-expanded to one window per crop row in the ten_crop row order
+        (loc-major, orig/flip innermost) — correct pairing by construction,
+        no repeat triggered. Ours: unexpanded audio through the 10-crop
+        broadcast path (models/tbn.py). Per-segment-distinct audio makes any
+        misalignment change the logits."""
+        modality = ("RGB", "Audio")
+        b, n, crops = 2, 2, 10
+        oracle = make_oracle(modality, enable=False)
+        tbatch = torch_batch(modality, b=b, n=n, crops=crops)
+
+        audio = tbatch["Audio"]  # (b, n, 1, F, T), distinct per segment
+        # ten_crop row order: index = loc*2N + seg*2 + flip
+        expanded = (
+            audio[:, None, :, None]  # (b, 1, n, 1, ...)
+            .expand(b, crops // 2, n, 2, 1, AF, AT)
+            .reshape(b, crops * n, 1, AF, AT)
+        )
+        with torch.no_grad():
+            want = oracle({"RGB": tbatch["RGB"].clone(), "Audio": expanded})
+
+        ours = make_ours(modality, enable=False)
+        got = apply_ours(ours, tbatch, oracle)
+        assert_outputs_match(got, want)
