@@ -48,6 +48,22 @@ def collate(samples: Sequence[Dict]) -> Tuple[Dict, Dict, Dict]:
     return batch, targets, meta
 
 
+def pad_batch(batch, targets, total: int):
+    """Pad every leading batch dim to ``total`` rows by repeating the first
+    sample, so the global batch divides the device mesh. Metrics and result
+    collection must use the true batch size (meta["batch_size"])."""
+
+    def pad(x):
+        x = np.asarray(x)
+        if x.shape[0] >= total:
+            return x
+        return np.concatenate([x, np.repeat(x[:1], total - x.shape[0], axis=0)])
+
+    import jax
+
+    return jax.tree.map(pad, batch), jax.tree.map(pad, targets)
+
+
 class DataLoader:
     """Iterates (batch, targets, meta) with background decode + prefetch."""
 
@@ -61,6 +77,7 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         device_put=None,
+        pad_to: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -70,6 +87,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = max(int(prefetch), 1)
         self.device_put = device_put
+        # Pad each batch to a multiple of ``pad_to`` (the mesh size) in the
+        # producer thread, so padding + H2D overlap device compute instead
+        # of sitting on the training loop's critical path. The true batch
+        # size travels in meta["batch_size"].
+        self.pad_to = max(int(pad_to), 1)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -115,14 +137,18 @@ class DataLoader:
                         samples = list(
                             pool.map(sample_one, [(batch_no, i) for i in idx])
                         )
-                        collated = collate(samples)
+                        batch, targets, meta = collate(samples)
+                        true_bs = len(samples)
+                        meta["batch_size"] = true_bs
+                        padded = (
+                            (true_bs + self.pad_to - 1) // self.pad_to
+                        ) * self.pad_to
+                        if padded != true_bs:
+                            batch, targets = pad_batch(batch, targets, padded)
                         if self.device_put is not None:
-                            collated = (
-                                self.device_put(collated[0]),
-                                self.device_put(collated[1]),
-                                collated[2],
-                            )
-                        out_queue.put(collated)
+                            batch = self.device_put(batch)
+                            targets = self.device_put(targets)
+                        out_queue.put((batch, targets, meta))
                 out_queue.put(None)
             except BaseException as exc:  # propagate decode errors to consumer
                 out_queue.put(exc)
@@ -147,7 +173,9 @@ class DataLoader:
                     break
 
 
-def create_dataloader(cfg, modality, mode: str = "train", device_put=None) -> DataLoader:
+def create_dataloader(
+    cfg, modality, mode: str = "train", device_put=None, pad_to: int = 1
+) -> DataLoader:
     """Reference create_dataloader surface (core/utils/create_dataloader.py):
     val reuses the train annotation file; batch size and split per mode."""
     from .records import read_vid_list, resolve_vid_list_path
@@ -172,4 +200,5 @@ def create_dataloader(cfg, modality, mode: str = "train", device_put=None) -> Da
         seed=int(cfg.data.manual_seed),
         prefetch=int(cfg.get_path("tpu.prefetch", 2) or 2),
         device_put=device_put,
+        pad_to=pad_to,
     )

@@ -71,6 +71,13 @@ BN_INCEPTION_BLOCKS: Tuple[Tuple[str, InceptionSpec], ...] = (
 
 FEATURE_SIZE = 1024
 
+# Rewrite the inference avg-pool+1x1-proj branch as one exact 3x3 conv
+# (see InceptionBlock._fused_eval): removes a fusion-blocking pooling pass
+# at the price of 9x the proj FLOPs (~+33% model FLOPs). Off by default —
+# measured slower on v5e (the conv pipeline is the bottleneck, pools are
+# not); kept for A/B benchmarking via benchmarks/infer_ab.py.
+POOL_PROJ_CONV = False
+
 
 class InceptionBlock(nn.Module):
     """One Inception-BN block.
@@ -170,11 +177,22 @@ class InceptionBlock(nn.Module):
         branches.append(relu(conv2d_apply(d, *kd2, s.stride, 1, dtype)))
 
         if kproj:
-            if s.pool == "avg":
+            if s.pool == "avg" and POOL_PROJ_CONV:
+                # avg-pool(3x3/1/p1, count_include_pad) then 1x1 proj is
+                # EXACTLY a 3x3 conv with the proj kernel replicated /9 at
+                # every tap (the divisor is 9 at every position: stride 1,
+                # pad 1 adds no ceil-extra rows and explicit padding counts).
+                # Keeps the whole branch inside the conv pipeline instead of
+                # a fusion-blocking pooling pass.
+                pk, pb = kproj
+                k3 = jnp.broadcast_to(pk / 9.0, (3, 3) + pk.shape[2:])
+                branches.append(relu(conv2d_apply(x, k3, pb, 1, 1, dtype)))
+            elif s.pool == "avg":
                 pooled = avg_pool2d(x, 3, 1, 1, ceil_mode=True, count_include_pad=True)
+                branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
             else:
                 pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True)
-            branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
+                branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
         else:
             branches.append(max_pool2d(x, 3, s.stride, 0, ceil_mode=True))
 

@@ -47,32 +47,67 @@ def load_pretrained_towers(
 ) -> Tuple[Dict, Dict]:
     """Load converted pretrained weights into each tower, when present.
 
-    Looks for ``imagenet_bninception_rgb.pth`` (RGB/Audio) and
-    ``kinetics_bninception_flow.pth`` (Flow) under the weights dir, like the
-    reference (bn_inception.py:60-70). Missing files are skipped with a
-    warning (this environment cannot download them); random init remains.
+    * bninception: ``imagenet_bninception_rgb.{npz,pth}`` (RGB/Audio — audio
+      conv1 channel-meaned) and ``kinetics_bninception_flow`` (Flow), like
+      the reference (bn_inception.py:60-70).
+    * resnet / vgg: torchvision state dicts ``resnet<depth>`` /
+      ``vgg<type>`` shared by every modality, first conv channel-mean-tiled
+      for Flow/Audio (reference resnet.py:26-36, vgg.py:20-33 — see
+      convert.adapt_first_conv_at for the documented divergences).
+
+    Missing files are skipped with a warning (this environment cannot
+    download them); random init remains.
     """
     if not cfg.get_path("model.pretrained", True):
         return params, batch_stats
-    if cfg.model.arch != "bninception":
-        if logger:
-            logger.info(
-                "Pretrained torchvision weights for resnet/vgg: provide .pth "
-                "files and use models.convert; skipping auto-load."
-            )
-        return params, batch_stats
 
-    from .convert import adapt_first_conv, convert_bninception, load_torch_file
+    from .convert import (
+        adapt_first_conv_at,
+        convert_bninception,
+        convert_resnet,
+        convert_vgg,
+        load_torch_file,
+    )
 
+    arch = cfg.model.arch
     weights_dir = _weights_dir(cfg)
-    stems = {
-        "RGB": "imagenet_bninception_rgb",
-        "Audio": "imagenet_bninception_rgb",
-        "Flow": "kinetics_bninception_flow",
+    audio_alt_stem = bool(cfg.get_path("model.bninception.audio_stem", False))
+
+    if arch == "bninception":
+        stems = {
+            "RGB": "imagenet_bninception_rgb",
+            "Audio": "imagenet_bninception_rgb",
+            "Flow": "kinetics_bninception_flow",
+        }
+        convert = convert_bninception
+        first_conv = ("conv1_7x7_s2", "conv")
+    elif arch == "resnet":
+        stem_name = f"resnet{int(cfg.model.resnet.depth)}"
+        stems = {m: stem_name for m in ("RGB", "Flow", "Audio")}
+        convert = convert_resnet
+        first_conv = ("conv1",)
+    else:  # vgg
+        stem_name = f"vgg{cfg.model.vgg.type}"
+        stems = {m: stem_name for m in ("RGB", "Flow", "Audio")}
+        convert = lambda sd: convert_vgg(sd, str(cfg.model.vgg.type))  # noqa: E731
+        first_conv = ("conv0",)
+
+    in_channels = {
+        "RGB": 3,
+        "Flow": 2 * int(cfg.data.flow.win_length),
+        "Audio": 1,
     }
 
     for m in modality:
         tower = f"Base_{m}"
+        if arch == "bninception" and m == "Audio" and audio_alt_stem:
+            if logger:
+                logger.warning(
+                    "model.bninception.audio_stem=true: the (3,1)/(1,3) stem "
+                    "has no pretrained counterpart (the reference never loads "
+                    "BNInception_Audio either); Base_Audio keeps random init"
+                )
+            continue
         stem = os.path.join(weights_dir, stems[m])
         npz_path, pth_path = stem + ".npz", stem + ".pth"
         if os.path.exists(npz_path):
@@ -83,7 +118,7 @@ def load_pretrained_towers(
             t_params, t_stats = load_npz(npz_path)
             loaded = os.path.basename(npz_path)
         elif os.path.exists(pth_path):
-            t_params, t_stats = convert_bninception(load_torch_file(pth_path))
+            t_params, t_stats = convert(load_torch_file(pth_path))
             loaded = os.path.basename(pth_path)
         else:
             if logger:
@@ -92,8 +127,12 @@ def load_pretrained_towers(
                     f"{tower} keeps random init"
                 )
             continue
-        if m == "Audio" and t_params["conv1_7x7_s2"]["conv"]["kernel"].shape[2] != 1:
-            adapt_first_conv(t_params, in_channels=1)
+
+        node = t_params
+        for key in first_conv:
+            node = node[key]
+        if node["kernel"].shape[2] != in_channels[m]:
+            adapt_first_conv_at(t_params, first_conv, in_channels[m])
         params[tower] = t_params
         batch_stats[tower] = t_stats
         if logger:

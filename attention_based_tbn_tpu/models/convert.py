@@ -111,15 +111,25 @@ def convert_bninception(
     return params, stats
 
 
-def adapt_first_conv(params: Dict, in_channels: int, conv_name: str = "conv1_7x7_s2") -> Dict:
-    """Channel-mean the first conv kernel and tile to ``in_channels``
-    (reference bn_inception.py:78-80 for audio; TSN cross-modality init)."""
-    kernel = params[conv_name]["conv"]["kernel"]  # (H, W, I, O)
+def adapt_first_conv_at(params: Dict, path: Tuple[str, ...], in_channels: int) -> Dict:
+    """Channel-mean the first conv kernel at ``path`` (ending in the module
+    holding "kernel") and tile to ``in_channels`` — TSN cross-modality init
+    (reference bn_inception.py:78-80; resnet.py:27-36 takes the same mean
+    but assigns it un-tiled, which only works for in_channels=1 — tiling
+    makes Flow stacks work too; vgg.py:25-31 leaves the new conv randomly
+    initialized — the mean-tile is applied uniformly here)."""
+    node = params
+    for key in path:
+        node = node[key]
+    kernel = node["kernel"]  # (H, W, I, O)
     mean = kernel.mean(axis=2, keepdims=True)
-    params[conv_name]["conv"]["kernel"] = np.tile(mean, (1, 1, in_channels, 1)).astype(
-        np.float32
-    )
+    node["kernel"] = np.tile(mean, (1, 1, in_channels, 1)).astype(np.float32)
     return params
+
+
+def adapt_first_conv(params: Dict, in_channels: int, conv_name: str = "conv1_7x7_s2") -> Dict:
+    """BN-Inception first-conv adaptation (see adapt_first_conv_at)."""
+    return adapt_first_conv_at(params, (conv_name, "conv"), in_channels)
 
 
 def convert_resnet(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:

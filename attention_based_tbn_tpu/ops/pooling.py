@@ -46,6 +46,32 @@ def _pool_padding(
     return pads[0], pads[1]
 
 
+# Lower pools to shifted strided slices + an elementwise max/add tree
+# instead of lax.reduce_window. Measured on v5e: 63.6 -> 110.9 ms/batch —
+# markedly WORSE (reduce_window lowers to a tuned pooling kernel; the 9
+# strided-slice reads defeat it). Kept off; toggle for A/B benchmarking
+# (benchmarks/infer_ab.py "slicepool" variants).
+SLICE_POOLS = False
+
+
+def _pool_via_slices(xp: jnp.ndarray, k, s, op) -> jnp.ndarray:
+    """Combine the k[0]*k[1] shifted strided views of the padded input."""
+    h, w = xp.shape[1], xp.shape[2]
+    out_h = (h - k[0]) // s[0] + 1
+    out_w = (w - k[1]) // s[1] + 1
+    acc = None
+    for di in range(k[0]):
+        for dj in range(k[1]):
+            part = xp[
+                :,
+                di : di + (out_h - 1) * s[0] + 1 : s[0],
+                dj : dj + (out_w - 1) * s[1] + 1 : s[1],
+                :,
+            ]
+            acc = part if acc is None else op(acc, part)
+    return acc
+
+
 def max_pool2d(
     x: jnp.ndarray,
     kernel_size: IntPair,
@@ -57,6 +83,11 @@ def max_pool2d(
     k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
     (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if SLICE_POOLS:
+        xp = jnp.pad(
+            x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), constant_values=init
+        )
+        return _pool_via_slices(xp, k, s, jnp.maximum)
     return jax.lax.reduce_window(
         x,
         init,
@@ -87,14 +118,18 @@ def avg_pool2d(
     # add-monoid recognition and breaks reverse-mode AD under jit.
     # bf16 inputs sum in bf16: the 9-element windows lose ~nothing and the
     # fp32 upcast doubled pool HBM traffic (visible in device traces).
-    summed = jax.lax.reduce_window(
-        x,
-        0.0,
-        jax.lax.add,
-        window_dimensions=(1, k[0], k[1], 1),
-        window_strides=(1, s[0], s[1], 1),
-        padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
-    )
+    if SLICE_POOLS:
+        xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        summed = _pool_via_slices(xp, k, s, jnp.add)
+    else:
+        summed = jax.lax.reduce_window(
+            x,
+            0.0,
+            jax.lax.add,
+            window_dimensions=(1, k[0], k[1], 1),
+            window_strides=(1, s[0], s[1], 1),
+            padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
+        )
 
     if count_include_pad and not ceil_mode:
         out = summed / (k[0] * k[1])

@@ -96,6 +96,8 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
             batch_size=int(cfg.test.batch_size),
             shuffle=False,
             num_workers=int(cfg.num_workers),
+            device_put=device_put,
+            pad_to=n_devices,
         )
         logger.info(f"{len(dataset)} action segments to be processed.")
         logger.info("Inference in progress...")
@@ -108,23 +110,13 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
             output[key] = []
 
         for batch, targets, meta in loader:
-            true_bs = len(meta["uid"])
-            padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
-            has_labels = targets["class"] is not None
-            if has_labels:
+            true_bs = meta["batch_size"]
+            if targets["class"] is not None:
                 labeled = True
-                b, t = batch, targets
-                if padded != true_bs:
-                    b, t = _pad_batch(batch, targets, padded)
-                loss, preds = eval_step(
-                    state, device_put(b), device_put(t), jnp.asarray(0)
-                )
-                metric.update(preds, t, loss, batch_size=true_bs)
+                loss, preds = eval_step(state, batch, targets, jnp.asarray(0))
+                metric.update(preds, targets, loss, batch_size=true_bs)
             else:
-                b = batch
-                if padded != true_bs:
-                    b, _ = _pad_batch(batch, {}, padded)
-                preds = infer_step(state, device_put(b))
+                preds = infer_step(state, batch)
 
             if cfg.test.save_results:
                 output["action_id"].append(np.asarray(meta["uid"]))

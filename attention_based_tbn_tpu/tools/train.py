@@ -33,7 +33,11 @@ from ..parallel.train_step import (
     make_eval_step,
     make_train_step,
 )
-from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    wait_until_finished,
+)
 from ..utils.logging import Plotter
 from ..utils.metrics import Metric
 from ..utils.misc import get_time_diff
@@ -54,16 +58,11 @@ def _device_put_factory(mesh):
 
 
 def _pad_batch(batch, targets, total: int):
-    """Pad the batch to ``total`` rows by repeating the first sample so the
-    global batch divides the mesh; metrics use the true batch size."""
-    def pad(x):
-        x = np.asarray(x)
-        if x.shape[0] >= total:
-            return x
-        reps = np.concatenate([x, np.repeat(x[:1], total - x.shape[0], axis=0)])
-        return reps
+    """Back-compat alias: padding now lives in the loader (data/loader.py
+    pad_batch) so it runs in the producer thread off the critical path."""
+    from ..data.loader import pad_batch
 
-    return jax.tree.map(pad, batch), jax.tree.map(pad, targets)
+    return pad_batch(batch, targets, total)
 
 
 def train_one_epoch(
@@ -72,8 +71,10 @@ def train_one_epoch(
 ):
     no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
     log_interval = max(no_batches // 4, 1)
-    loss_tracker = 0.0
-    n_devices = mesh.size
+    # Device-resident running loss: the per-step float() readback was a
+    # 30 ms-2 s host sync on the tunneled platform; now the loop enqueues
+    # async adds and blocks only at the (4x/epoch) log points.
+    loss_tracker = jnp.zeros((), jnp.float32)
 
     # First-class profiling: capture a device trace of the first N steps of
     # epoch 0 into the run dir (view with tensorboard / xprof).
@@ -84,18 +85,11 @@ def train_one_epoch(
 
     step_times = []
     loader.set_epoch(epoch)
-    for iter_no, (batch, targets, _) in enumerate(loader):
+    for iter_no, (batch, targets, meta) in enumerate(loader):
         step_start = time.perf_counter()
-        true_bs = int(next(iter(targets["class"].values())).shape[0])
-        padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
-        if padded != true_bs:
-            batch, targets = _pad_batch(batch, targets, padded)
-        batch = device_put(batch)
-        targets = device_put(targets)
-
         state, loss, preds = step_fn(state, batch, targets, rng, jnp.asarray(epoch))
-        metric.update(preds, targets, loss, batch_size=true_bs)
-        loss_tracker += float(loss["total"])
+        metric.update(preds, targets, loss, batch_size=meta["batch_size"])
+        loss_tracker = loss_tracker + loss["total"]
         step_times.append(time.perf_counter() - step_start)
 
         if profiling and iter_no + 1 == profile_steps:
@@ -109,7 +103,7 @@ def train_one_epoch(
                 "{:.3f} s/step".format(
                     iter_no + 1,
                     no_batches,
-                    loss_tracker / (iter_no + 1),
+                    float(loss_tracker) / (iter_no + 1),
                     float(np.mean(step_times[-log_interval:])),
                 )
             )
@@ -123,17 +117,10 @@ def train_one_epoch(
 def validate(cfg, state, eval_fn, loader, epoch, logger, mesh, device_put):
     no_batches = max(len(loader.dataset) // loader.batch_size, 1)
     metric = Metric(cfg, no_batches)
-    n_devices = mesh.size
 
-    for batch, targets, _ in loader:
-        true_bs = int(next(iter(targets["class"].values())).shape[0])
-        padded = ((true_bs + n_devices - 1) // n_devices) * n_devices
-        if padded != true_bs:
-            batch, targets = _pad_batch(batch, targets, padded)
-        batch = device_put(batch)
-        targets = device_put(targets)
+    for batch, targets, meta in loader:
         loss, preds = eval_fn(state, batch, targets, jnp.asarray(epoch))
-        metric.update(preds, targets, loss, batch_size=true_bs)
+        metric.update(preds, targets, loss, batch_size=meta["batch_size"])
 
     return metric.compute()
 
@@ -148,17 +135,20 @@ def run_trainer(cfg, logger, modality, writer=None):
     model, spec = build_model(cfg, modality)
     device_put = _device_put_factory(mesh)
 
-    train_loader = create_dataloader(cfg, modality, mode="train")
-    val_loader = create_dataloader(cfg, modality, mode="val")
+    # The loader pads to the mesh size and device_puts in its producer
+    # thread, overlapping H2D transfer with device compute.
+    train_loader = create_dataloader(
+        cfg, modality, mode="train", device_put=device_put, pad_to=mesh.size
+    )
+    val_loader = create_dataloader(
+        cfg, modality, mode="val", device_put=device_put, pad_to=mesh.size
+    )
 
-    # Initialize from one (padded) probe batch
+    # Initialize from one probe batch (already padded + device_put by the
+    # loader's producer thread)
     probe_iter = iter(train_loader)
     probe_batch, probe_targets, _ = next(probe_iter)
     del probe_iter
-    n_devices = mesh.size
-    bs = int(next(iter(probe_targets["class"].values())).shape[0])
-    padded = ((bs + n_devices - 1) // n_devices) * n_devices
-    probe_batch, _ = _pad_batch(probe_batch, probe_targets, padded)
     probe_batch = jax.tree.map(jnp.asarray, probe_batch)
 
     params_probe = None
@@ -301,6 +291,7 @@ def run_trainer(cfg, logger, modality, writer=None):
         logger.info(json.dumps(val_acc, indent=2))
         logger.info("-" * 58)
 
+    wait_until_finished()  # last async checkpoint becomes durable
     hours, minutes, seconds = get_time_diff(start_time, time.time())
     logger.info(
         f"Training completed. Total time taken: {hours} hours, "

@@ -4,23 +4,75 @@ The reference saves a .pth dict every epoch — model/optimizer/scheduler
 state, epoch index and metric histories (reference core/utils/misc.py:56-112)
 — and resumes by *extending* total epochs (train.py:219-236). Here the train
 state pytree (params, batch_stats, optimizer state, step) is saved with
-Orbax (async-capable, preemption-safe) and the histories go to a JSON
-sidecar; reference .pth checkpoints are importable via models/convert.py.
+Orbax and the histories go to a JSON sidecar; reference .pth checkpoints are
+importable via models/convert.py.
+
+Durability model (the reference overwrote one .pth in place — a preemption
+mid-save destroyed the only checkpoint):
+
+* every save writes to a fresh ``<path>.tmp-<epoch>`` directory, then
+  atomically renames over ``<path>`` (the previous checkpoint is moved
+  aside first and deleted only after the rename succeeds);
+* saves are asynchronous (ocp.AsyncCheckpointer) — the train loop keeps
+  stepping while the previous epoch's state serializes; the handoff
+  happens in ``_finalize`` right before the next save / at close.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+_ASYNC: Dict[str, Any] = {"checkpointer": None, "pending": None}
+
 
 def _history_path(path: str) -> str:
     return path.rstrip("/") + ".history.json"
+
+
+def _checkpointer() -> ocp.AsyncCheckpointer:
+    if _ASYNC["checkpointer"] is None:
+        _ASYNC["checkpointer"] = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler()
+        )
+    return _ASYNC["checkpointer"]
+
+
+def _finalize() -> None:
+    """Complete the pending async save: wait for durability, then atomically
+    swap the tmp dir into place."""
+    pending = _ASYNC["pending"]
+    if pending is None:
+        return
+    _ASYNC["pending"] = None
+    tmp_path, final_path, history = pending
+    _checkpointer().wait_until_finished()
+    if not os.path.exists(tmp_path):
+        return
+    old_path = final_path + ".old"
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    if os.path.exists(final_path):
+        os.rename(final_path, old_path)
+    os.rename(tmp_path, final_path)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    # history lands only after the checkpoint it describes is durable
+    hist_tmp = _history_path(final_path) + ".tmp"
+    with open(hist_tmp, "w") as handle:
+        json.dump(history, handle)
+    os.replace(hist_tmp, _history_path(final_path))
+
+
+def wait_until_finished() -> None:
+    """Block until every outstanding save is durable and swapped in."""
+    _finalize()
 
 
 def save_checkpoint(
@@ -31,16 +83,14 @@ def save_checkpoint(
     val_loss_hist=None,
     val_acc_hist=None,
     conf_mat: Optional[Dict[str, np.ndarray]] = None,
+    block: bool = False,
 ) -> None:
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    checkpointer = ocp.StandardCheckpointer()
-    if os.path.exists(path):
-        import shutil
 
-        shutil.rmtree(path)
-    checkpointer.save(path, state)
-    checkpointer.wait_until_finished()
+    # finish (and swap in) the previous epoch's save before starting a new
+    # one; the previous checkpoint stays intact until this one is durable
+    _finalize()
 
     history = {
         "epoch": int(epoch),
@@ -50,8 +100,15 @@ def save_checkpoint(
     }
     if conf_mat:
         history["conf_mat"] = {k: np.asarray(v).tolist() for k, v in conf_mat.items()}
-    with open(_history_path(path), "w") as handle:
-        json.dump(history, handle)
+
+    tmp_path = f"{path}.tmp-{int(epoch)}"
+    if os.path.exists(tmp_path):
+        shutil.rmtree(tmp_path)
+    _checkpointer().save(tmp_path, state)
+    _ASYNC["pending"] = (tmp_path, path, history)
+
+    if block:
+        _finalize()
 
 
 def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
@@ -61,6 +118,7 @@ def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
     containers and ignored), so evaluation doesn't need to reconstruct the
     optimizer to match the saved structure.
     """
+    _finalize()
     path = os.path.abspath(path)
     checkpointer = ocp.StandardCheckpointer()
     tree = checkpointer.restore(path)
@@ -78,6 +136,7 @@ def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
 def restore_checkpoint(path: str, abstract_state) -> Tuple[Any, Dict]:
     """Restore (state, history). ``abstract_state`` is a matching pytree
     (e.g. a freshly created TrainState) used as the restore template."""
+    _finalize()
     path = os.path.abspath(path)
     checkpointer = ocp.StandardCheckpointer()
     template = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)

@@ -81,7 +81,13 @@ def make_batch(cfg, batch_size=8):
 def build(variant, cfg):
     import dataclasses
 
+    from attention_based_tbn_tpu.models import bn_inception as bi
+    from attention_based_tbn_tpu.ops import pooling
     from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+    # Flag toggles (each variant names the flags it turns ON; the rest off)
+    bi.POOL_PROJ_CONV = "poolconv" in variant
+    pooling.SLICE_POOLS = "slicepool" in variant
 
     overrides = {}
     if "fastcons" in variant:
@@ -105,9 +111,9 @@ def main():
             "tpu.compute_dtype=bfloat16",
         ]
     )
-    batch = make_batch(cfg)
-    bs = 8
     for variant in variants:
+        bs = 16 if variant.endswith("_b16") else 8
+        batch = make_batch(cfg, batch_size=bs)
         model = build(variant, cfg)
         sec, compile_s = measure(model, batch)
         print(

@@ -51,3 +51,43 @@ def test_overwrite(tmp_path):
     restored, history = restore_checkpoint(path, make_state(0.0))
     np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
     assert history["epoch"] == 1
+
+
+def test_preemption_mid_save_keeps_previous(tmp_path):
+    """A save interrupted before durability must not destroy the previous
+    checkpoint (the reference's in-place .pth overwrite did; misc.py:56-112).
+    Simulated: epoch-0 checkpoint durable, epoch-1 save 'dies' leaving only
+    a partial tmp dir — restore still returns epoch 0."""
+    import os
+    import shutil
+
+    from attention_based_tbn_tpu.utils import checkpoint as C
+
+    path = str(tmp_path / "ckpt")
+    C.save_checkpoint(path, make_state(1.0), epoch=0)
+    C.wait_until_finished()
+
+    # fake a preempted epoch-1 save: partial tmp dir, never finalized
+    tmp = f"{path}.tmp-1"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "garbage"), "w") as fh:
+        fh.write("partial write")
+
+    restored, history = C.restore_checkpoint(path, make_state(0.0))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 1.0)
+    assert history["epoch"] == 0
+    shutil.rmtree(tmp)
+
+
+def test_async_save_overlaps_and_finalizes(tmp_path):
+    """Back-to-back async saves: each save finalizes the previous one; the
+    final wait makes the last durable; history tracks the checkpoint."""
+    from attention_based_tbn_tpu.utils import checkpoint as C
+
+    path = str(tmp_path / "ckpt")
+    for epoch in range(3):
+        C.save_checkpoint(path, make_state(float(epoch)), epoch=epoch)
+    C.wait_until_finished()
+    restored, history = C.restore_checkpoint(path, make_state(0.0))
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 2.0)
+    assert history["epoch"] == 2
