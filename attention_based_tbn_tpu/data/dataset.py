@@ -239,11 +239,12 @@ class VideoDataset:
             per_seg = []
             for w in windows:
                 if prior_type == "loud":
-                    # loud prior needs the spectrogram; compute it on host
-                    # only for this case (numpy mirror of the device op)
-                    from ..ops.spectrogram import log_power_stft
+                    # loud prior needs the spectrogram; pure-numpy mirror of
+                    # the device op — dispatching the jitted op from loader
+                    # threads per window serialized the input pipeline
+                    from ..ops.spectrogram import log_power_stft_np
 
-                    spec = np.asarray(log_power_stft(w[None], sr=sr))[0]
+                    spec = log_power_stft_np(w, sr=sr)
                     per_seg.append(attention_prior("loud", self.attn_win, spec))
                 else:
                     per_seg.append(attention_prior(prior_type, self.attn_win))

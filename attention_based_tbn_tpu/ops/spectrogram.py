@@ -199,6 +199,32 @@ def log_power_stft(
     return spec.reshape(lead + spec.shape[1:])
 
 
+def log_power_stft_np(
+    signal: np.ndarray,
+    sr: int = 24000,
+    n_fft: int = 511,
+    window_ms: float = 10.0,
+    hop_ms: float = 5.0,
+    eps: float = 1e-6,
+) -> np.ndarray:
+    """Pure-numpy mirror of log_power_stft for host-side consumers (the
+    ``loud`` attention prior runs in loader threads; dispatching the jitted
+    device op per window from there serialized the whole input pipeline).
+    Same math: center constant-padding, strided frames, padded periodic-hann
+    window, rfft power, log(.+eps). Returns (n_bins, n_frames)."""
+    win_length = int(round(window_ms * sr / 1e3))
+    hop = int(round(hop_ms * sr / 1e3))
+    pad = n_fft // 2
+    padded = np.pad(np.asarray(signal, np.float32), (pad, pad))
+    frames_n = 1 + (padded.shape[0] - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(frames_n)[:, None]
+    frames = padded[idx]  # (T, n_fft)
+    window = _padded_window(win_length, n_fft)
+    spec = np.fft.rfft(frames * window, n=n_fft, axis=-1)
+    power = (spec.real**2 + spec.imag**2).astype(np.float32)
+    return np.log(power + eps).T  # (n_bins, T)
+
+
 def log_mel_spectrogram(
     signal: jnp.ndarray,
     sr: int = 24000,

@@ -103,6 +103,89 @@ def get_info(cfg, model, state, dataset, max_samples: Optional[int] = None):
     return rows
 
 
+def save_action_segment(
+    data_dir: str,
+    vid_id: str,
+    start_time,
+    stop_time,
+    out_path: str = "results/temp.MP4",
+    fps: float = 60.0,
+    rgb_prefix: str = "links",
+):
+    """Trim the action's clip to ``out_path`` (reference vis.py:96-114 used
+    moviepy; this is a dependency-light rewrite). Sources, in order:
+
+    * ``<data_dir>/vid_symlinks/<vid_id>.MP4`` via cv2.VideoCapture;
+    * the frame directory ``<data_dir>/<rgb_prefix>/<vid_id>/img_*.jpg``
+      (0-indexed, as laid out by preprocessing/create_symlinks.py —
+    ``rgb_prefix`` is ``cfg.data.rgb.dir_prefix``).
+
+    Falls back to an animated GIF (PIL) when cv2's mp4 encoder is
+    unavailable. Returns the written path.
+    """
+    import cv2
+
+    def _to_seconds(value) -> float:
+        if isinstance(value, (int, float)):
+            return float(value)
+        parts = [float(p) for p in str(value).split(":")]
+        return sum(p * 60.0**i for i, p in enumerate(reversed(parts)))
+
+    start_s, stop_s = _to_seconds(start_time), _to_seconds(stop_time)
+
+    frames = []
+    vid_file = os.path.join(data_dir, "vid_symlinks", f"{vid_id}.MP4")
+    if os.path.exists(vid_file):
+        cap = cv2.VideoCapture(vid_file)
+        src_fps = cap.get(cv2.CAP_PROP_FPS) or fps
+        cap.set(cv2.CAP_PROP_POS_MSEC, start_s * 1000.0)
+        while cap.isOpened():
+            ok, frame = cap.read()
+            if not ok or cap.get(cv2.CAP_PROP_POS_MSEC) > stop_s * 1000.0:
+                break
+            frames.append(frame)
+        cap.release()
+        fps = src_fps
+    else:
+        frame_dir = os.path.join(data_dir, rgb_prefix, vid_id)
+        first = int(start_s * fps)
+        last = int(stop_s * fps)
+        for i in range(first, last + 1):
+            path = os.path.join(frame_dir, f"img_{i:010d}.jpg")
+            if os.path.exists(path):
+                frames.append(cv2.imread(path))
+    if not frames:
+        raise FileNotFoundError(
+            f"no video source for {vid_id} under {data_dir} "
+            "(vid_symlinks/*.MP4 or rgb frame dir)"
+        )
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if writer.isOpened():
+        for frame in frames:
+            writer.write(frame)
+        writer.release()
+        if os.path.getsize(out_path) > 0:
+            return out_path
+    # GIF fallback (no mp4 encoder in this cv2 build)
+    from PIL import Image
+
+    gif_path = os.path.splitext(out_path)[0] + ".gif"
+    images = [Image.fromarray(f[..., ::-1]) for f in frames]  # BGR -> RGB
+    images[0].save(
+        gif_path,
+        save_all=True,
+        append_images=images[1:],
+        duration=int(1000.0 / fps),
+        loop=0,
+    )
+    return gif_path
+
+
 def visualize(
     cfg,
     model,
@@ -110,6 +193,7 @@ def visualize(
     dataset,
     index: int,
     out_path: str = "results/vis.png",
+    save_clip: bool = False,
 ):
     """Render one sample: RGB frames / spectrograms / attention curves /
     class bars -> PNG (reference vis.py:96-237)."""
@@ -163,4 +247,19 @@ def visualize(
     fig.tight_layout()
     fig.savefig(out_path, dpi=80)
     plt.close(fig)
+
+    if save_clip:
+        # the reference also writes the trimmed action clip (vis.py:96-237)
+        clip_path = os.path.join(
+            os.path.dirname(os.path.abspath(out_path)), "temp.MP4"
+        )
+        save_action_segment(
+            cfg.data_dir,
+            meta["vid_id"][0],
+            meta["start_time"][0],
+            meta["stop_time"][0],
+            out_path=clip_path,
+            fps=float(cfg.data.vid_fps),
+            rgb_prefix=cfg.data.rgb.dir_prefix,
+        )
     return out_path

@@ -141,3 +141,21 @@ class TestExtractWindow:
         win = extract_window(sample, 10, 60.0, 2.1, sr)
         assert win.shape == (int(2.1 * sr),)
         assert win[0] == 1.0 and win[-1] == 0.0
+
+
+def test_numpy_mirror_matches_device_op():
+    """log_power_stft_np (host, loud-prior path) == log_power_stft (device)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from attention_based_tbn_tpu.ops.spectrogram import (
+        log_power_stft,
+        log_power_stft_np,
+    )
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal(int(1.279 * 24000)).astype(np.float32) * 0.2
+    dev = np.asarray(log_power_stft(jnp.asarray(w)[None], sr=24000))[0]
+    host = log_power_stft_np(w, sr=24000)
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, rtol=2e-4, atol=2e-4)

@@ -80,3 +80,22 @@ def test_visualize_renders_png(setup):
     )
     assert os.path.exists(out)
     assert os.path.getsize(out) > 1000
+
+
+def test_save_action_segment_from_frames(setup):
+    """Clip export (reference vis.py:96-114) from the frame directory."""
+    cfg, model, state, dataset, root = setup
+    out = vis.save_action_segment(
+        cfg.data_dir, "P01_01", 0.1, 0.5,
+        out_path=os.path.join(root, "results", "clip.MP4"),
+        fps=float(cfg.data.vid_fps),
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_visualize_writes_clip(setup):
+    cfg, model, state, dataset, root = setup
+    out_png = os.path.join(root, "results", "vis_clip.png")
+    vis.visualize(cfg, model, state, dataset, 0, out_path=out_png, save_clip=True)
+    results = os.listdir(os.path.dirname(out_png))
+    assert any(name.startswith("temp.") for name in results), results
