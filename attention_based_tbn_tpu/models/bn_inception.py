@@ -34,7 +34,12 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pooling import avg_pool2d, global_avg_pool, max_pool2d
+from ..ops.pooling import (
+    _pool_via_slices,
+    avg_pool2d,
+    global_avg_pool,
+    max_pool2d,
+)
 from .layers import ConvBN, FoldedConvBN, conv2d_apply
 
 Dtype = Any
@@ -150,21 +155,38 @@ class InceptionBlock(nn.Module):
 
         relu = nn.relu
         if self.merge_1x1:
+            # The avg-pool branch's 1x1 proj commutes with its 3x3/1/p1
+            # average pool (both linear; the count_include_pad divisor is 9
+            # at every position for stride 1 / pad 1), so proj joins the
+            # merged input-reading conv and the pool runs on the projected
+            # 32-128 channels instead of the 192-1056 block input — exact
+            # math, ~6x less pooling traffic.
+            pool_in_merge = kproj is not None and s.pool == "avg"
             heads = ([k1] if k1 else []) + [kr3, krd]
+            if pool_in_merge:
+                # proj columns go in BIAS-FREE: the pool pads with zeros, so
+                # only W.x commutes (pool(W.x) == W.pool(x)); the bias is
+                # added after pooling or border windows would average it /9.
+                # The constant /9 divisor is pre-folded into the kernel so
+                # the pool is a plain 9-tap add tree.
+                heads = heads + [(kproj[0] / 9.0, jnp.zeros_like(kproj[1]))]
             merged_k = jnp.concatenate([k for k, _ in heads], axis=-1)
             merged_b = jnp.concatenate([b for _, b in heads], axis=-1)
-            merged = relu(conv2d_apply(x, merged_k, merged_b, 1, 0, dtype))
+            merged = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
             sizes = [k.shape[-1] for k, _ in heads]
             offs = [0]
             for size in sizes:
                 offs.append(offs[-1] + size)
             parts = [merged[..., offs[i] : offs[i + 1]] for i in range(len(sizes))]
+            proj_pre = parts.pop() if pool_in_merge else None
+            parts = [relu(p) for p in parts]
             if k1:
                 b1, r3, rd = parts
             else:
                 b1 = None
                 r3, rd = parts
         else:
+            proj_pre = None
             b1 = relu(conv2d_apply(x, *k1, 1, 0, dtype)) if k1 else None
             r3 = relu(conv2d_apply(x, *kr3, 1, 0, dtype))
             rd = relu(conv2d_apply(x, *krd, 1, 0, dtype))
@@ -177,7 +199,16 @@ class InceptionBlock(nn.Module):
         branches.append(relu(conv2d_apply(d, *kd2, s.stride, 1, dtype)))
 
         if kproj:
-            if s.pool == "avg" and POOL_PROJ_CONV:
+            if proj_pre is not None:
+                # proj (already /9-scaled) came out of the merged conv; the
+                # 3x3/s1/p1 average is a 9-tap shifted add tree — pure
+                # elementwise ops XLA fuses with the bias+ReLU epilogue,
+                # unlike reduce_window which lane-pads the narrow 32-128
+                # proj channels (measured 10 ms/exec slower).
+                xp = jnp.pad(proj_pre, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                summed = _pool_via_slices(xp, (3, 3), (1, 1), jnp.add)
+                branches.append(relu(summed + kproj[1].astype(summed.dtype)))
+            elif s.pool == "avg" and POOL_PROJ_CONV:
                 # avg-pool(3x3/1/p1, count_include_pad) then 1x1 proj is
                 # EXACTLY a 3x3 conv with the proj kernel replicated /9 at
                 # every tap (the divisor is 9 at every position: stride 1,

@@ -95,10 +95,9 @@ class TorchConv(nn.Module):
             and k == (7, 7)
             and s == (2, 2)
             and p == (3, 3)
-            and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):
-            y = self._s2d_conv(x, kernel)
+            y = self._packed_w_conv(x, kernel)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
@@ -121,47 +120,44 @@ class TorchConv(nn.Module):
             y = y + fold_offset.astype(y.dtype)
         return y.astype(self.dtype)
 
-    def _s2d_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-        """7x7/2/p3 conv == 4x4/1 conv on the 2x2 space-to-depth input.
+    def _packed_w_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+        """7x7/2/p3 conv == (7,4)/(2,1) conv on the column-paired input.
 
-        With the input padded by 4 (not 3) on each side, output pixel i
-        draws from s2d rows p' = i..i+3 with original kernel row
-        a = 2*(p'-i) + u - 1 (u = parity), so the transformed kernel is
-        w2[p, q, (u, v, c)] = w[2p+u-1, 2q+v-1, c] (zero out of range).
+        Folding W pairs into channels, (B,H,W,C) -> (B,H,W/2,2C), is a PURE
+        RESHAPE (contiguous in NHWC) — unlike full 2x2 space-to-depth there
+        is no transpose, so the stem costs no relayout copy while still
+        widening the contraction to 7*4*2C for the MXU (few-channel stems
+        otherwise run it at a fraction of peak).
+
+        Output col i covers original cols 2i-3..2i+3 = packed cols p =
+        i-2..i+1 (4 taps) with parity v, original kernel col = 2q+v-1
+        (q = p-(i-2)); so w'[a, q, v*C+c, o] = w[a, 2q+v-1, c, o] (zero out
+        of range), packed padding (2, 2), H handled by the conv's own (3, 3)
+        padding, and the one ceil-extra output column sliced off.
         """
         b, h, w, c = x.shape
         out_h = (h + 6 - 7) // 2 + 1
         out_w = (w + 6 - 7) // 2 + 1
+        o = kernel.shape[-1]
 
-        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (4, 4), (4, 4), (0, 0)))
-        h2, w2_dim = (h + 8) // 2, (w + 8) // 2
-        s2d = (
-            xp.reshape(b, h2, 2, w2_dim, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(b, h2, w2_dim, 4 * c)
-        )
+        xw = x.astype(self.dtype).reshape(b, h, w // 2, 2 * c)
 
-        # transformed kernel (4, 4, 4*C, O); channel packing (u, v, c).
-        # Static-index gather: a(p,u) = 2p + u - 1 (rows), same for columns.
+        # packed kernel (7, 4, 2C, O); channel packing (v, c)
         import numpy as _np
 
-        idx = 2 * _np.arange(4)[:, None] + _np.arange(2)[None, :] - 1  # (4, 2)
-        valid = ((idx >= 0) & (idx < 7)).astype(_np.float32)
+        idx = 2 * _np.arange(4)[None, :] + _np.arange(2)[:, None] - 1  # (v, q)
+        valid = jnp.asarray(((idx >= 0) & (idx < 7)).astype(_np.float32))
         clipped = _np.clip(idx, 0, 6)
-        w_sel = kernel[clipped.reshape(-1)][:, clipped.reshape(-1)]  # (8, 8, C, O)
-        w_sel = w_sel.reshape(4, 2, 4, 2, c, kernel.shape[-1])
-        mask = jnp.asarray(
-            (valid.reshape(4, 2, 1, 1) * valid.reshape(1, 1, 4, 2))[..., None, None]
-        )
-        w4 = (w_sel * mask).transpose(0, 2, 1, 3, 4, 5).reshape(
-            4, 4, 4 * c, kernel.shape[-1]
-        )
+        # (7, v, q, C, O) gather on the kernel's column axis
+        w_sel = kernel[:, clipped.reshape(-1)].reshape(7, 2, 4, c, o)
+        w_sel = w_sel * valid[None, :, :, None, None]
+        wp = w_sel.transpose(0, 2, 1, 3, 4).reshape(7, 4, 2 * c, o)
 
         y = jax.lax.conv_general_dilated(
-            s2d,
-            w4.astype(self.dtype),
-            window_strides=(1, 1),
-            padding="VALID",
+            xw,
+            wp.astype(self.dtype),
+            window_strides=(2, 1),
+            padding=((3, 3), (2, 2)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32
             if self.dtype == jnp.float32

@@ -46,6 +46,38 @@ from .vgg import VGG
 Dtype = Any
 
 
+def tile_crop_rows(feature: jnp.ndarray, b: int, reps: int) -> jnp.ndarray:
+    """Broadcast per-(sample, segment) rows to ``reps`` crop rows.
+
+    Visual streams under 10-crop eval are ordered crop-major within each
+    sample by the ten_crop transform: row = loc*2N + seg*2 + flip
+    (data/transforms.py ten_crop). Audio carries one row per segment; this
+    broadcasts row (b, seg) to its ``reps`` crop rows so downstream Fusion
+    pairs matching segments. Works on any trailing shape ((B*N, C) pooled
+    features or (B*N, S, C) attention sequences).
+
+    Documented divergence: the reference's dormant path (model.py:243-248,
+    call sites commented out) tiles with ``repeat(new_size, 1)`` — rep-major
+    ordering that pairs visual row loc*2N+seg*2+flip with audio row
+    rep*N+seg, i.e. the wrong segment whenever N > 1; here the pairing is
+    correct by construction (asserted in test_tbn_forward.py alignment
+    tests).
+    """
+    n_seg = feature.shape[0] // b
+    trailing = feature.shape[1:]
+    if reps % 2 == 0:  # ten-crop style: (loc, seg, flip) row order
+        out = jnp.broadcast_to(
+            feature.reshape((b, 1, n_seg, 1) + trailing),
+            (b, reps // 2, n_seg, 2) + trailing,
+        )
+    else:  # non-ten-crop expansion: plain per-sample repeat
+        out = jnp.broadcast_to(
+            feature.reshape((b, 1, n_seg) + trailing),
+            (b, reps, n_seg) + trailing,
+        )
+    return out.reshape((b * reps * n_seg,) + trailing)
+
+
 @dataclass(frozen=True)
 class TBNSpec:
     """Static (hashable) model configuration distilled from the config tree."""
@@ -254,31 +286,14 @@ class TBNModel(nn.Module):
                 feature = self._audio_feature(batch, features, feature, b, n, train)
                 if isinstance(feature, tuple):
                     feature, att_wts = feature
-                # 10-crop eval: visual streams carry 10x rows per segment,
-                # ordered crop-major within each sample by the ten_crop
-                # transform: row = loc*2N + seg*2 + flip (transforms.py
-                # ten_crop). Broadcast each (sample, segment) audio feature
-                # to its 10 crop rows so Fusion pairs matching segments.
-                # Documented divergence: the reference's dormant path
-                # (model.py:243-248, call sites commented out) tiles with
-                # ``repeat(new_size, 1)`` — rep-major ordering that pairs
-                # visual row b*10N+loc*2N+seg*2+flip with audio row
-                # rep*BN+b*N+seg, i.e. the wrong sample/segment for any
-                # B>1 or N>1; here the pairing is correct by construction.
+                # 10-crop eval: visual streams carry 10x rows per segment;
+                # broadcast each (sample, segment) audio feature to its crop
+                # rows so Fusion pairs matching segments (tile_crop_rows; the
+                # learned-attention paths already pre-tiled the sequence
+                # inside _attend, in which case shapes match and this no-ops).
                 if m_no > 0 and features and features[0].shape[0] > feature.shape[0]:
                     reps = features[0].shape[0] // feature.shape[0]
-                    n_seg = feature.shape[0] // b
-                    c_feat = feature.shape[-1]
-                    if reps % 2 == 0:
-                        feature = jnp.broadcast_to(
-                            feature.reshape(b, 1, n_seg, 1, c_feat),
-                            (b, reps // 2, n_seg, 2, c_feat),
-                        ).reshape(b * reps * n_seg, c_feat)
-                    else:  # non-ten-crop expansion: plain per-sample repeat
-                        feature = jnp.broadcast_to(
-                            feature.reshape(b, 1, n_seg, c_feat),
-                            (b, reps, n_seg, c_feat),
-                        ).reshape(b * reps * n_seg, c_feat)
+                    feature = tile_crop_rows(feature, b, reps)
 
             features.append(feature)
 
@@ -365,6 +380,13 @@ class TBNModel(nn.Module):
             ).astype(dtype)
 
         query = features[0]
+        if query.shape[0] > feature.shape[0]:
+            # 10-crop eval with learned attention: the reference's
+            # corresponding path is dormant (the row mismatch would crash
+            # torch MHA before its repeat at model.py:243-248 runs); here
+            # each crop row queries its own segment's audio window by
+            # tiling the sequence crop-major first.
+            feature = tile_crop_rows(feature, b, query.shape[0] // feature.shape[0])
         if spec.attention_type == "mha":
             if spec.use_pe:
                 seq = PositionalEncoding(

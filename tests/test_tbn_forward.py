@@ -153,6 +153,73 @@ class TestForward:
         out = model.apply(variables, batch, train=False)
         assert out["verb"].shape == (B, 125)
 
+    def _crop_major_batch(self, rng):
+        """Ten-crop batch whose 10 crop rows per segment are identical
+        copies of that segment's frame (crop-major row order: row =
+        loc*2N + seg*2 + flip), plus per-segment-DISTINCT audio, and the
+        equivalent plain batch. With correct audio/crop row pairing the
+        ten-crop consensus must equal the plain consensus; any misalignment
+        (e.g. the reference's dormant rep-major repeat, model.py:243-248)
+        pairs some crop row with another segment's audio and shifts the
+        logits through the fusion ReLU."""
+        frames = rng.standard_normal((B, N, H, W, 3))
+        crops = np.broadcast_to(
+            frames[:, None, :, None], (B, 5, N, 2, H, W, 3)
+        ).reshape(B, 10 * N, H, W, 3)
+        audio = rng.standard_normal((B, N, AUDIO_LEN)) * 0.1
+        # make segments loudly distinct so misalignment must move logits
+        audio = audio * (1.0 + 5.0 * np.arange(N))[None, :, None]
+        batch10 = {
+            "RGB": jnp.asarray(crops, jnp.float32),
+            "Audio": jnp.asarray(audio, jnp.float32),
+        }
+        batch1 = {
+            "RGB": jnp.asarray(frames, jnp.float32),
+            "Audio": jnp.asarray(audio, jnp.float32),
+        }
+        return batch10, batch1
+
+    def _run_alignment(self, attention_enable, attention_type="mha"):
+        over = {"model.attention.enable": attention_enable}
+        if attention_enable:
+            over["model.attention.type"] = attention_type
+        cfg = make_cfg(**over)
+        spec = TBNSpec.from_config(cfg, ["RGB", "Audio"])
+        model = TBNModel(spec)
+        rng = np.random.default_rng(7)
+        batch10, batch1 = self._crop_major_batch(rng)
+        variables = model.init(jax.random.key(0), batch1, train=False)
+        out10 = model.apply(variables, batch10, train=False)
+        out1 = model.apply(variables, batch1, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out10["verb"]), np.asarray(out1["verb"]),
+            rtol=2e-4, atol=2e-5,
+        )
+        # sensitivity: swapping two audio segments must move the logits —
+        # proves the equality above would catch a mispaired tiling
+        swapped = dict(batch10)
+        perm = np.arange(N)
+        perm[0], perm[1] = 1, 0
+        swapped["Audio"] = batch10["Audio"][:, perm]
+        out_sw = model.apply(variables, swapped, train=False)
+        # untrained logits move little, but well above the equality
+        # tolerance (~2.6e-5 at |logit|~0.03) — measured ~4e-4
+        assert np.abs(
+            np.asarray(out_sw["verb"]) - np.asarray(out10["verb"])
+        ).max() > 1e-4
+
+    def test_ten_crop_alignment_no_attention(self):
+        # fused rows must pair visual crop rows with the SAME segment's audio
+        self._run_alignment(attention_enable=False)
+
+    def test_ten_crop_alignment_mha(self):
+        # learned attention pre-tiles the audio sequence crop-major; each
+        # crop row attends over its own segment's audio window
+        self._run_alignment(attention_enable=True, attention_type="mha")
+
+    def test_ten_crop_alignment_unimodal(self):
+        self._run_alignment(attention_enable=True, attention_type="unimodal")
+
     def test_audio_dropout_path(self):
         cfg = make_cfg(
             **{"model.attention.enable": False, "data.audio.dropout": 0.5}
