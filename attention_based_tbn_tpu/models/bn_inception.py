@@ -76,6 +76,10 @@ BN_INCEPTION_BLOCKS: Tuple[Tuple[str, InceptionSpec], ...] = (
 
 FEATURE_SIZE = 1024
 
+# A/B: use the plain 7x7/2 stem conv instead of the column-packed rewrite
+# (layers.TorchConv._packed_w_conv). Toggled by benchmarks/infer_ab.py.
+DIRECT_STEM = False
+
 # Rewrite the inference avg-pool+1x1-proj branch as one exact 3x3 conv
 # (see InceptionBlock._fused_eval): removes a fusion-blocking pooling pass
 # at the price of 9x the proj FLOPs (~+33% model FLOPs). Off by default —
@@ -256,11 +260,24 @@ class BNInception(nn.Module):
     feature_size: int = FEATURE_SIZE
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        input_scale: jnp.ndarray = None,
+        input_offset: jnp.ndarray = None,
+    ) -> jnp.ndarray:
+        """(input_scale, input_offset): per-channel affine normalization of
+        a raw uint8 input, applied inside the stem conv after its pure
+        reshapes (layers.TorchConv) to avoid layout copies."""
         kw = dict(dtype=self.dtype)
         bn_kw = dict(train=train)
 
         if self.audio_stem:
+            if input_scale is not None:
+                x = x.astype(self.dtype) * input_scale.astype(
+                    self.dtype
+                ) + input_offset.astype(self.dtype)
             # Names follow the reference's (kernel shapes included — the
             # reference's "1x3" layer really has a (3,1) kernel and vice
             # versa, bn_inception_audio.py:11-19); concat order (1x3, 3x1).
@@ -268,11 +285,22 @@ class BNInception(nn.Module):
             b = ConvBN(32, (1, 3), 2, (0, 1), name="conv1_3x1_s2", **kw)(x, **bn_kw)
             y = jnp.concatenate([a, b], axis=-1)
         else:
-            # space-to-depth stem: exact 7x7/2 rewrite that keeps the MXU
+            # column-packed stem: exact 7x7/2 rewrite that keeps the MXU
             # busy despite the 1-10 input channels (see TorchConv)
             y = ConvBN(
-                64, 7, 2, 3, name="conv1_7x7_s2", space_to_depth=True, **kw
-            )(x, **bn_kw)
+                64,
+                7,
+                2,
+                3,
+                name="conv1_7x7_s2",
+                space_to_depth=not DIRECT_STEM,
+                **kw,
+            )(
+                x,
+                input_scale=input_scale,
+                input_offset=input_offset,
+                **bn_kw,
+            )
         y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
         y = ConvBN(64, 1, name="conv2_3x3_reduce", **kw)(y, **bn_kw)
         y = ConvBN(192, 3, padding=1, name="conv2_3x3", **kw)(y, **bn_kw)

@@ -72,11 +72,20 @@ class TorchConv(nn.Module):
         x: jnp.ndarray,
         fold_scale: jnp.ndarray = None,
         fold_offset: jnp.ndarray = None,
+        input_scale: jnp.ndarray = None,
+        input_offset: jnp.ndarray = None,
     ) -> jnp.ndarray:
         """Optional BN folding: with (fold_scale, fold_offset) the conv
         computes ``conv(x, W*scale) + (b*scale + offset)`` — algebraically
         BN(conv(x)+b) for inference, removing the separate normalization
-        pass over the activations."""
+        pass over the activations.
+
+        (input_scale, input_offset): per-input-channel affine applied to x
+        right before the conv — the uint8->float normalization of the stem.
+        Applying it HERE, after the pure batch-fold/column-pack reshapes,
+        keeps those reshapes bitcast-free; normalizing before them makes
+        XLA materialize layout copies around every reshape (measured
+        ~3 ms/batch for the 10-channel Flow stack)."""
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         p = _pair(self.padding)
@@ -97,8 +106,12 @@ class TorchConv(nn.Module):
             and p == (3, 3)
             and x.shape[2] % 2 == 0
         ):
-            y = self._packed_w_conv(x, kernel)
+            y = self._packed_w_conv(x, kernel, input_scale, input_offset)
         else:
+            if input_scale is not None:
+                x = x.astype(self.dtype) * input_scale.astype(
+                    self.dtype
+                ) + input_offset.astype(self.dtype)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
@@ -120,7 +133,13 @@ class TorchConv(nn.Module):
             y = y + fold_offset.astype(y.dtype)
         return y.astype(self.dtype)
 
-    def _packed_w_conv(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    def _packed_w_conv(
+        self,
+        x: jnp.ndarray,
+        kernel: jnp.ndarray,
+        input_scale: jnp.ndarray = None,
+        input_offset: jnp.ndarray = None,
+    ) -> jnp.ndarray:
         """7x7/2/p3 conv == (7,4)/(2,1) conv on the column-paired input.
 
         Folding W pairs into channels, (B,H,W,C) -> (B,H,W/2,2C), is a PURE
@@ -140,7 +159,13 @@ class TorchConv(nn.Module):
         out_w = (w + 6 - 7) // 2 + 1
         o = kernel.shape[-1]
 
-        xw = x.astype(self.dtype).reshape(b, h, w // 2, 2 * c)
+        # reshape FIRST (pure, any dtype incl. uint8), normalize after —
+        # see __call__ docstring
+        xw = x.reshape(b, h, w // 2, 2 * c).astype(self.dtype)
+        if input_scale is not None:
+            xw = xw * jnp.tile(input_scale, 2).astype(self.dtype) + jnp.tile(
+                input_offset, 2
+            ).astype(self.dtype)
 
         # packed kernel (7, 4, 2C, O); channel packing (v, c)
         import numpy as _np
@@ -314,7 +339,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, frozen_stats: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        frozen_stats: bool = False,
+        input_scale: jnp.ndarray = None,
+        input_offset: jnp.ndarray = None,
     ) -> jnp.ndarray:
         conv = TorchConv(
             self.features,
@@ -326,14 +356,15 @@ class ConvBN(nn.Module):
             space_to_depth=self.space_to_depth,
             name="conv",
         )
+        in_kw = dict(input_scale=input_scale, input_offset=input_offset)
 
         if not train:
             scale, bias, mean, var = BNParams(self.features, name="bn")()
             fold_scale = jax.lax.rsqrt(var + self.bn_epsilon) * scale
             fold_offset = bias - mean * fold_scale
-            y = conv(x, fold_scale=fold_scale, fold_offset=fold_offset)
+            y = conv(x, fold_scale=fold_scale, fold_offset=fold_offset, **in_kw)
         else:
-            y = conv(x)
+            y = conv(x, **in_kw)
             y = TorchBatchNorm(dtype=self.dtype, name="bn")(
                 y, use_running_average=False, frozen_stats=frozen_stats
             )

@@ -274,13 +274,26 @@ class TBNModel(nn.Module):
             else:
                 b, n = x.shape[0], x.shape[1]
                 x = x.reshape((b * n,) + x.shape[2:])
-                if m in ("RGB", "Flow") and x.dtype == jnp.uint8:
-                    x = self._normalize(m, x)
+
+            norm_kw = {}
+            if (
+                m in ("RGB", "Flow")
+                and x.dtype == jnp.uint8
+                and spec.arch == "bninception"
+            ):
+                # keep x uint8; the stem conv normalizes after its pure
+                # reshapes (avoids layout copies — layers.TorchConv)
+                norm_kw = self._norm_affine(m, x.shape[-1])
+            elif m in ("RGB", "Flow") and x.dtype == jnp.uint8:
+                x = self._normalize(m, x)
 
             tower = self._make_tower(m)
             # positional train flag: nn.remat static_argnums counts
             # positional args ((module, x, train) -> index 2)
-            feature = tower(x.astype(dtype), train)
+            if norm_kw:
+                feature = tower(x, train, **norm_kw)
+            else:
+                feature = tower(x.astype(dtype), train)
 
             if m == "Audio":
                 feature = self._audio_feature(batch, features, feature, b, n, train)
@@ -332,6 +345,20 @@ class TBNModel(nn.Module):
         if spec.attention_enable and not spec.use_fixed and att_wts is not None:
             out["weights"] = att_wts
         return out
+
+    def _norm_affine(self, modality: str, channels: int) -> Dict[str, jnp.ndarray]:
+        """Per-channel (scale, offset) with (v/255 - mean)/std == v*scale +
+        offset, for normalizing inside the tower stem. Mean/std repeat
+        across flow-stack channels like _normalize."""
+        spec = self.spec
+        mean = spec.rgb_mean if modality == "RGB" else spec.flow_mean
+        std = spec.rgb_std if modality == "RGB" else spec.flow_std
+        reps = channels // len(mean)
+        mean = jnp.asarray(mean * reps, dtype=jnp.float32)
+        std = jnp.asarray(std * reps, dtype=jnp.float32)
+        return dict(
+            input_scale=1.0 / (255.0 * std), input_offset=-mean / std
+        )
 
     def _normalize(self, modality: str, x: jnp.ndarray) -> jnp.ndarray:
         """uint8 -> float/255 - mean / std on device (fused into the tower's

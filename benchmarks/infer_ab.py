@@ -87,6 +87,7 @@ def build(variant, cfg):
 
     # Flag toggles (each variant names the flags it turns ON; the rest off)
     bi.POOL_PROJ_CONV = "poolconv" in variant
+    bi.DIRECT_STEM = "directstem" in variant
     pooling.SLICE_POOLS = "slicepool" in variant
 
     overrides = {}
