@@ -166,14 +166,17 @@ class InceptionBlock(nn.Module):
             # 32-128 channels instead of the 192-1056 block input — exact
             # math, ~6x less pooling traffic.
             pool_in_merge = kproj is not None and s.pool == "avg"
-            heads = ([k1] if k1 else []) + [kr3, krd]
+            # proj section goes FIRST so its slice starts at lane offset 0:
+            # it feeds the 9-tap pooling tree, whose pad otherwise pays a
+            # lane-shuffle copy of the un-aligned slice. proj columns go in
+            # BIAS-FREE: the pool pads with zeros, so only W.x commutes
+            # (pool(W.x) == W.pool(x)); the bias is added after pooling or
+            # border windows would average it /9. The constant /9 divisor is
+            # pre-folded into the kernel so the pool is a plain add tree.
+            heads = []
             if pool_in_merge:
-                # proj columns go in BIAS-FREE: the pool pads with zeros, so
-                # only W.x commutes (pool(W.x) == W.pool(x)); the bias is
-                # added after pooling or border windows would average it /9.
-                # The constant /9 divisor is pre-folded into the kernel so
-                # the pool is a plain 9-tap add tree.
-                heads = heads + [(kproj[0] / 9.0, jnp.zeros_like(kproj[1]))]
+                heads.append((kproj[0] / 9.0, jnp.zeros_like(kproj[1])))
+            heads += ([k1] if k1 else []) + [kr3, krd]
             merged_k = jnp.concatenate([k for k, _ in heads], axis=-1)
             merged_b = jnp.concatenate([b for _, b in heads], axis=-1)
             merged = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
@@ -182,7 +185,7 @@ class InceptionBlock(nn.Module):
             for size in sizes:
                 offs.append(offs[-1] + size)
             parts = [merged[..., offs[i] : offs[i + 1]] for i in range(len(sizes))]
-            proj_pre = parts.pop() if pool_in_merge else None
+            proj_pre = parts.pop(0) if pool_in_merge else None
             parts = [relu(p) for p in parts]
             if k1:
                 b1, r3, rd = parts
