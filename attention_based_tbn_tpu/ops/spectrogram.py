@@ -153,22 +153,24 @@ def _stft_power_conv(
     n_bins = cos_b.shape[1]
     basis = np.concatenate([cos_b, sin_b], axis=1)  # (n_fft, 2*n_bins)
 
-    # Accumulate the per-phase matmuls directly: out = sum_j blocks[t+j] @ Wj.
-    # Each product is only (B, T, 2*n_bins); producing all phases in one wide
-    # matmul materialized a (B, n_blocks, n_chunks*2*n_bins) tensor whose
-    # relayout copy showed up as ~4 ms/step in device traces.
-    out = None
-    for j in range(n_chunks):
-        part = basis[j * hop : min((j + 1) * hop, n_fft)]
-        w_j = np.zeros((hop, 2 * n_bins), np.float32)
-        w_j[: part.shape[0]] = part
-        contrib = jnp.matmul(
-            blocks[:, j : j + t_frames, :],
-            jnp.asarray(w_j, dtype=compute_dtype),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(compute_dtype),
-        )
-        out = contrib if out is None else out + contrib
+    # ONE wide-K matmul: frames = the n_chunks shifted block views
+    # lane-concatenated to (B, T, n_chunks*hop), times the zero-padded basis
+    # (n_chunks*hop, 2*n_bins). The concat copies ~(B*T*n_fft) bf16 once;
+    # the earlier per-phase accumulation instead wrote the (B, T, 2*n_bins)
+    # fp32 accumulator n_chunks times (~1.4 GB/batch, ~1.7 ms on traces).
+    # (A third formulation — one wide-OUTPUT matmul per block — was worse
+    # still: it materialized (B, n_blocks, n_chunks*2*n_bins) + relayout.)
+    frames = jnp.concatenate(
+        [blocks[:, j : j + t_frames, :] for j in range(n_chunks)], axis=-1
+    )
+    wide = np.zeros((n_chunks * hop, 2 * n_bins), np.float32)
+    wide[:n_fft] = basis
+    out = jnp.matmul(
+        frames,
+        jnp.asarray(wide, dtype=compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=_mm_precision(compute_dtype),
+    )
 
     re, im = out[..., :n_bins], out[..., n_bins:]
     return re * re + im * im  # (B, T, n_bins) fp32
