@@ -72,6 +72,14 @@ def _pool_via_slices(xp: jnp.ndarray, k, s, op) -> jnp.ndarray:
     return acc
 
 
+# Pallas kernel for the big stride-2 ceil max pools (see pallas_pool.py).
+# Standalone it beats reduce_window 1.5-1.8x on the lane-sparse stem maps,
+# but IN-MODEL it measured 57.3 -> 70.8 ms/batch: XLA fuses those pools
+# into the producer conv epilogues, and a pallas_call boundary forces the
+# pre-pool tensor to materialize. Kept off; toggle for A/B benchmarking.
+PALLAS_MAX_POOLS = False
+
+
 def max_pool2d(
     x: jnp.ndarray,
     kernel_size: IntPair,
@@ -81,6 +89,11 @@ def max_pool2d(
 ) -> jnp.ndarray:
     """torch.nn.MaxPool2d on NHWC input."""
     k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
+    if PALLAS_MAX_POOLS and jax.default_backend() not in ("cpu",):
+        from . import pallas_pool
+
+        if pallas_pool.supported(x, k, s, p, ceil_mode):
+            return pallas_pool.ceil_max_pool2d_pallas(x)
     (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     if SLICE_POOLS:
