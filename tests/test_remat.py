@@ -1,6 +1,7 @@
 """Rematerialization flag: gradients flow and match the non-remat path."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,7 @@ def _grads(remat: bool):
     return jax.jit(jax.grad(loss_fn))(variables["params"])
 
 
+@pytest.mark.slow  # ~95 s: compiles the backward twice (remat on/off)
 def test_remat_grads_match():
     g_plain = _grads(remat=False)
     g_remat = _grads(remat=True)

@@ -22,6 +22,7 @@ def test_ten_crop_transform():
     np.testing.assert_array_equal(out[1], out[0][:, ::-1])
 
 
+@pytest.mark.slow  # ~90 s: full dataset+model e2e on 20-crop batches
 def test_ten_crop_dataset_and_model(tmp_path):
     videos = synthetic.generate(
         str(tmp_path), videos=["P01_01"], frames_per_video=60,

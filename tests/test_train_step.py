@@ -138,6 +138,7 @@ class TestTrainStep:
         _, _, mesh, *_ = setup
         assert mesh.shape["data"] == 8
 
+    @pytest.mark.slow  # ~130 s of XLA CPU compiles (multi-step chain)
     def test_loss_decreases(self, setup):
         cfg, model, mesh, tx, state, batch, targets = setup
         step = make_train_step(model, tx, cfg, mesh)
@@ -214,6 +215,7 @@ class TestTrainStep:
 
 
 class TestGradAccumulation:
+    @pytest.mark.slow  # ~65 s: compiles a second accumulation program
     def test_multisteps_applies_every_k(self):
         cfg = small_cfg(**{"train.optim.accumulator_step": 2})
         batch, targets = make_batch(b=8)
