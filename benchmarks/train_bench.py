@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Training-step throughput on real hardware: the reference train recipe.
+
+Batch 12 x 3 segments, tri-modal (RGB + flow stacks + 2.1 s audio) MHA TBN;
+one jitted SPMD step (forward + spectrogram + loss + backward + clip + SGD +
+BN stats). Prints one JSON line. Uses the same chained-execution protocol as
+bench.py (see PERF.md "Measurement methodology").
+
+The persistent compilation cache is enabled: the backward of the 224 px
+tri-modal graph takes ~45 min to compile over the axon tunnel on a cold
+cache, seconds warm.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    import jax.numpy as jnp
+
+    from attention_based_tbn_tpu.config import load_config
+    from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+    from attention_based_tbn_tpu.parallel.optim import build_optimizer
+    from attention_based_tbn_tpu.parallel.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = load_config(
+        overrides=[
+            "model.attention.type=mha",
+            "model.pretrained=False",
+            "tpu.compute_dtype=bfloat16",
+        ]
+    )
+    modality = ["RGB", "Flow", "Audio"]
+    spec = TBNSpec.from_config(cfg, modality)
+    model = TBNModel(spec)
+
+    batch_size = int(cfg.train.batch_size)  # 12, the reference recipe
+    n_seg = int(cfg.train.num_segments)  # 3
+    crop = int(cfg.data.train_crop_size)  # 224
+    audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "RGB": jnp.asarray(
+            rng.integers(0, 255, (batch_size, n_seg, crop, crop, 3)), jnp.uint8
+        ),
+        "Flow": jnp.asarray(
+            rng.integers(0, 255, (batch_size, n_seg, crop, crop, 10)), jnp.uint8
+        ),
+        "Audio": jnp.asarray(
+            rng.standard_normal((batch_size, n_seg, audio_len)) * 0.1, jnp.float32
+        ),
+    }
+    targets = {
+        "class": {
+            "verb": jnp.asarray(rng.integers(0, 125, batch_size), jnp.int32),
+            "noun": jnp.asarray(rng.integers(0, 352, batch_size), jnp.int32),
+        }
+    }
+
+    # build_optimizer needs the param tree: init with a placeholder
+    # transformation, then swap in the configured optimizer
+    import optax
+
+    state = create_train_state(model, batch, optax.identity(), jax.random.key(0))
+    tx, _ = build_optimizer(cfg, state.params, modality)
+    state = state.replace(opt_state=tx.init(state.params))
+
+    step = make_train_step(model, tx, cfg, mesh=None)
+
+    new_state, loss, _ = step(state, batch, targets, jax.random.key(1), jnp.asarray(0))
+    first = float(loss["total"])  # force compile + settle
+
+    iters = 30
+    state = new_state
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, batch, targets, jax.random.key(1), jnp.asarray(0))
+    total = float(loss["total"])  # ONE readback ends the chain
+    elapsed = time.perf_counter() - start
+
+    sec_per_step = elapsed / iters
+    print(
+        json.dumps(
+            {
+                "metric": "train_clips_per_sec_per_chip",
+                "value": round(batch_size / sec_per_step, 2),
+                "unit": "clips/s",
+                "sec_per_step": round(sec_per_step, 4),
+                "batch_size": batch_size,
+                "segments": n_seg,
+                "loss_first": round(first, 4),
+                "loss_last": round(total, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
