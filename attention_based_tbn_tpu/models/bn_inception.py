@@ -31,6 +31,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -40,7 +41,7 @@ from ..ops.pooling import (
     global_avg_pool,
     max_pool2d,
 )
-from .layers import ConvBN, FoldedConvBN, conv2d_apply
+from .layers import ConvBN, ConvBNParams, FoldedConvBN, conv2d_apply
 
 Dtype = Any
 
@@ -116,16 +117,32 @@ class InceptionBlock(nn.Module):
         bn_kw = dict(train=train, frozen_stats=frozen_stats)
         branches = []
 
-        if s.b1x1:
-            branches.append(ConvBN(s.b1x1, 1, name="1x1", **kw)(x, **bn_kw))
+        if self.merge_1x1:
+            # The input-reading 1x1 cells merge at TRAIN time too: the conv
+            # concat is exact (matmul output columns) and BatchNorm is
+            # per-channel, so one merged BN computes the identical batch
+            # statistics and running-stat updates as the per-branch BNs —
+            # one conv + one reduction pass instead of three of each.
+            b1, r3, rd = self._merged_train_heads(x, frozen_stats)
+        else:
+            b1 = (
+                ConvBN(s.b1x1, 1, name="1x1", **kw)(x, **bn_kw)
+                if s.b1x1
+                else None
+            )
+            r3 = ConvBN(s.r3x3, 1, name="3x3_reduce", **kw)(x, **bn_kw)
+            rd = ConvBN(s.rd3x3, 1, name="double_3x3_reduce", **kw)(x, **bn_kw)
 
-        y = ConvBN(s.r3x3, 1, name="3x3_reduce", **kw)(x, **bn_kw)
+        if b1 is not None:
+            branches.append(b1)
+
         branches.append(
-            ConvBN(s.b3x3, 3, stride=s.stride, padding=1, name="3x3", **kw)(y, **bn_kw)
+            ConvBN(s.b3x3, 3, stride=s.stride, padding=1, name="3x3", **kw)(
+                r3, **bn_kw
+            )
         )
 
-        y = ConvBN(s.rd3x3, 1, name="double_3x3_reduce", **kw)(x, **bn_kw)
-        y = ConvBN(s.d3x3, 3, padding=1, name="double_3x3_1", **kw)(y, **bn_kw)
+        y = ConvBN(s.d3x3, 3, padding=1, name="double_3x3_1", **kw)(rd, **bn_kw)
         branches.append(
             ConvBN(s.d3x3, 3, stride=s.stride, padding=1, name="double_3x3_2", **kw)(
                 y, **bn_kw
@@ -142,6 +159,69 @@ class InceptionBlock(nn.Module):
             branches.append(max_pool2d(x, 3, s.stride, 0, ceil_mode=True))
 
         return jnp.concatenate(branches, axis=-1)
+
+    def _merged_train_heads(self, x: jnp.ndarray, frozen_stats: bool):
+        """Train-time merged application of the input-reading 1x1 cells
+        (1x1 branch + both reduces): one conv, one BatchNorm with
+        torch-exact semantics (biased batch variance to normalize, unbiased
+        in the running update), per-cell running-stat writes. Parameter
+        tree is identical to the per-branch ConvBN cells."""
+        s = self.spec
+        dtype = self.dtype
+        in_ch = x.shape[-1]
+
+        cells = []
+        if s.b1x1:
+            cells.append(("1x1", s.b1x1))
+        cells += [("3x3_reduce", s.r3x3), ("double_3x3_reduce", s.rd3x3)]
+        decls = [
+            ConvBNParams(feat, 1, name=name)(in_ch) for name, feat in cells
+        ]
+
+        merged_k = jnp.concatenate([k for (k, _), _ in decls], axis=-1)
+        merged_b = jnp.concatenate([b for (_, b), _ in decls], axis=-1)
+        y = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
+
+        scale = jnp.concatenate([bn[0] for _, bn in decls])
+        bias = jnp.concatenate([bn[1] for _, bn in decls])
+        eps = 1e-5
+        if frozen_stats:
+            r_mean = jnp.concatenate([bn[2].value for _, bn in decls])
+            r_var = jnp.concatenate([bn[3].value for _, bn in decls])
+            inv = jax.lax.rsqrt(r_var + eps) * scale
+            y = y.astype(dtype) * inv.astype(dtype) + (
+                bias - r_mean * inv
+            ).astype(dtype)
+        else:
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
+            n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                momentum = 0.1
+                off = 0
+                for (name, feat), (_, bn) in zip(cells, decls):
+                    m_var, v_var = bn[2], bn[3]
+                    m_var.value = (1 - momentum) * m_var.value + momentum * (
+                        mean[off : off + feat]
+                    )
+                    v_var.value = (1 - momentum) * v_var.value + momentum * (
+                        unbiased[off : off + feat]
+                    )
+                    off += feat
+            inv = jax.lax.rsqrt(var + eps) * scale
+            y = ((yf - mean) * inv + bias).astype(dtype)
+
+        y = nn.relu(y)
+        sizes = [feat for _, feat in cells]
+        offs = [0]
+        for size in sizes:
+            offs.append(offs[-1] + size)
+        parts = [y[..., offs[i] : offs[i + 1]] for i in range(len(sizes))]
+        if s.b1x1:
+            return parts[0], parts[1], parts[2]
+        return None, parts[0], parts[1]
 
     def _fused_eval(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.spec

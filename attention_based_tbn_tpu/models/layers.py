@@ -256,7 +256,9 @@ class TorchBatchNorm(nn.Module):
 
 class BNParams(nn.Module):
     """Declares BatchNorm parameters + running stats without applying —
-    identical tree paths to TorchBatchNorm so checkpoints interchange."""
+    identical tree paths to TorchBatchNorm so checkpoints interchange.
+    Returns the stat VARIABLES (not values) so merged-BN callers can also
+    write updates; read ``.value`` for the folded inference path."""
 
     features: int
 
@@ -270,7 +272,7 @@ class BNParams(nn.Module):
         var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
-        return scale, bias, mean.value, var.value
+        return scale, bias, mean, var
 
 
 class ConvParams(nn.Module):
@@ -291,6 +293,23 @@ class ConvParams(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return kernel, bias
+
+
+class ConvBNParams(nn.Module):
+    """Declares a ConvBN cell's raw (kernel, bias) + BN params/stat
+    variables without applying anything — same tree (children "conv",
+    "bn") as ConvBN/FoldedConvBN, for merged-at-train application."""
+
+    features: int
+    kernel_size: IntPair
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel, bias = ConvParams(self.features, self.kernel_size, name="conv")(
+            in_features
+        )
+        scale, bn_bias, mean, var = BNParams(self.features, name="bn")()
+        return (kernel, bias), (scale, bn_bias, mean, var)
 
 
 class FoldedConvBN(nn.Module):
@@ -316,8 +335,8 @@ class FoldedConvBN(nn.Module):
             in_features
         )
         scale, bn_bias, mean, var = BNParams(self.features, name="bn")()
-        fold = jax.lax.rsqrt(var + self.bn_epsilon) * scale
-        return kernel * fold, bias * fold + (bn_bias - mean * fold)
+        fold = jax.lax.rsqrt(var.value + self.bn_epsilon) * scale
+        return kernel * fold, bias * fold + (bn_bias - mean.value * fold)
 
 
 class ConvBN(nn.Module):
@@ -360,8 +379,8 @@ class ConvBN(nn.Module):
 
         if not train:
             scale, bias, mean, var = BNParams(self.features, name="bn")()
-            fold_scale = jax.lax.rsqrt(var + self.bn_epsilon) * scale
-            fold_offset = bias - mean * fold_scale
+            fold_scale = jax.lax.rsqrt(var.value + self.bn_epsilon) * scale
+            fold_offset = bias - mean.value * fold_scale
             y = conv(x, fold_scale=fold_scale, fold_offset=fold_offset, **in_kw)
         else:
             y = conv(x, **in_kw)

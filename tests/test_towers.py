@@ -74,6 +74,62 @@ class TestBNInception:
         n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
         assert 10_000_000 < n_params < 12_000_000
 
+    @pytest.mark.parametrize("block", ["inception_3a", "inception_3c"])
+    def test_merged_train_heads_match_per_branch(self, key, block):
+        # The merged train-time conv+BN (models/bn_inception.py
+        # _merged_train_heads) must reproduce the per-branch ConvBN cells
+        # exactly: same outputs AND same running-stat updates, from the
+        # same parameter tree.
+        from attention_based_tbn_tpu.models.bn_inception import InceptionBlock
+
+        spec = dict(BN_INCEPTION_BLOCKS)[block]
+        x = jax.random.normal(jax.random.key(3), (2, 8, 8, 192), jnp.float32)
+
+        merged = InceptionBlock(spec, merge_1x1=True)
+        plain = InceptionBlock(spec, merge_1x1=False)
+        variables = merged.init(key, x, train=True)
+        out_m, mut_m = merged.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        out_p, mut_p = plain.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m), np.asarray(out_p), rtol=1e-5, atol=1e-5
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            mut_m["batch_stats"],
+            mut_p["batch_stats"],
+        )
+        # frozen-stats path too (partial-BN training)
+        out_mf = merged.apply(variables, x, train=True, frozen_stats=True)
+        out_pf = plain.apply(variables, x, train=True, frozen_stats=True)
+        np.testing.assert_allclose(
+            np.asarray(out_mf), np.asarray(out_pf), rtol=1e-5, atol=1e-5
+        )
+        # gradients agree through the merged formulation
+        def loss(fn, params):
+            out, _ = fn.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_m = jax.grad(lambda p: loss(merged, p))(variables["params"])
+        g_p = jax.grad(lambda p: loss(plain, p))(variables["params"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            ),
+            g_m,
+            g_p,
+        )
+
     def test_batch_stats_update_in_train(self, key):
         model = BNInception()
         x = jnp.ones((2, 64, 64, 3)) * 3.0
