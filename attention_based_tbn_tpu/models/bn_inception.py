@@ -117,13 +117,14 @@ class InceptionBlock(nn.Module):
         bn_kw = dict(train=train, frozen_stats=frozen_stats)
         branches = []
 
+        proj_out = None
         if self.merge_1x1:
             # The input-reading 1x1 cells merge at TRAIN time too: the conv
             # concat is exact (matmul output columns) and BatchNorm is
             # per-channel, so one merged BN computes the identical batch
             # statistics and running-stat updates as the per-branch BNs —
             # one conv + one reduction pass instead of three of each.
-            b1, r3, rd = self._merged_train_heads(x, frozen_stats)
+            b1, r3, rd, proj_out = self._merged_train_heads(x, frozen_stats)
         else:
             b1 = (
                 ConvBN(s.b1x1, 1, name="1x1", **kw)(x, **bn_kw)
@@ -149,7 +150,12 @@ class InceptionBlock(nn.Module):
             )
         )
 
-        if s.proj:
+        if proj_out is not None:
+            # avg-pool branch already computed by the merged path (pool
+            # commuted with the bias-free proj conv — exact, see
+            # _merged_train_heads)
+            branches.append(proj_out)
+        elif s.proj:
             if s.pool == "avg":
                 pooled = avg_pool2d(x, 3, 1, 1, ceil_mode=True, count_include_pad=True)
             else:
@@ -160,12 +166,46 @@ class InceptionBlock(nn.Module):
 
         return jnp.concatenate(branches, axis=-1)
 
+    def _train_bn(self, yf, scale, bias, stat_cells, frozen_stats: bool):
+        """torch-exact BatchNorm on fp32 input over one or several cells'
+        concatenated channels (BN is per-channel, so the merged statistics
+        equal the per-branch ones): biased batch variance to normalize,
+        unbiased in the running update, per-cell running-stat writes.
+
+        stat_cells: list of (mean_var, var_var, size) channel sections.
+        """
+        eps = 1e-5
+        if frozen_stats:
+            r_mean = jnp.concatenate([m.value for m, _, _ in stat_cells])
+            r_var = jnp.concatenate([v.value for _, v, _ in stat_cells])
+            inv = jax.lax.rsqrt(r_var + eps) * scale
+            return yf * inv + (bias - r_mean * inv)
+        mean = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
+        n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+        if not self.is_initializing():
+            momentum = 0.1
+            unbiased = var * (n / max(n - 1, 1))
+            off = 0
+            for m_var, v_var, size in stat_cells:
+                m_var.value = (1 - momentum) * m_var.value + momentum * mean[
+                    off : off + size
+                ]
+                v_var.value = (1 - momentum) * v_var.value + momentum * unbiased[
+                    off : off + size
+                ]
+                off += size
+        return (yf - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
+
     def _merged_train_heads(self, x: jnp.ndarray, frozen_stats: bool):
         """Train-time merged application of the input-reading 1x1 cells
-        (1x1 branch + both reduces): one conv, one BatchNorm with
-        torch-exact semantics (biased batch variance to normalize, unbiased
-        in the running update), per-cell running-stat writes. Parameter
-        tree is identical to the per-branch ConvBN cells."""
+        (1x1 branch + both reduces + the avg-pool branch's proj): one conv,
+        one merged BatchNorm for the relu'd cells, and the pool branch
+        commuted exactly as at inference — pool(W.x) == W.pool(x) for the
+        bias-free /9-scaled proj columns, bias added post-pool, then the
+        proj BN sees the identical values (and therefore identical batch
+        statistics) the reference computes on conv(pool(x)). Parameter tree
+        is identical to the per-branch ConvBN cells."""
         s = self.spec
         dtype = self.dtype
         in_ch = x.shape[-1]
@@ -174,54 +214,66 @@ class InceptionBlock(nn.Module):
         if s.b1x1:
             cells.append(("1x1", s.b1x1))
         cells += [("3x3_reduce", s.r3x3), ("double_3x3_reduce", s.rd3x3)]
+        pool_in_merge = bool(s.proj) and s.pool == "avg"
         decls = [
             ConvBNParams(feat, 1, name=name)(in_ch) for name, feat in cells
         ]
+        proj_decl = (
+            ConvBNParams(s.proj, 1, name="pool_proj")(in_ch)
+            if pool_in_merge
+            else None
+        )
 
-        merged_k = jnp.concatenate([k for (k, _), _ in decls], axis=-1)
-        merged_b = jnp.concatenate([b for (_, b), _ in decls], axis=-1)
+        kernels = [k for (k, _), _ in decls]
+        biases = [b for (_, b), _ in decls]
+        if pool_in_merge:
+            (pk, pb), _ = proj_decl
+            kernels.append(pk / 9.0)  # /9 pool divisor folded; bias-free
+            biases.append(jnp.zeros_like(pb))
+        merged_k = jnp.concatenate(kernels, axis=-1)
+        merged_b = jnp.concatenate(biases, axis=-1)
         y = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
 
-        scale = jnp.concatenate([bn[0] for _, bn in decls])
-        bias = jnp.concatenate([bn[1] for _, bn in decls])
-        eps = 1e-5
-        if frozen_stats:
-            r_mean = jnp.concatenate([bn[2].value for _, bn in decls])
-            r_var = jnp.concatenate([bn[3].value for _, bn in decls])
-            inv = jax.lax.rsqrt(r_var + eps) * scale
-            y = y.astype(dtype) * inv.astype(dtype) + (
-                bias - r_mean * inv
+        n_main = sum(feat for _, feat in cells)
+        y_main = y[..., :n_main]
+        main_bns = [bn for _, bn in decls]
+        y_main = nn.relu(
+            self._train_bn(
+                y_main.astype(jnp.float32),
+                jnp.concatenate([bn[0] for bn in main_bns]),
+                jnp.concatenate([bn[1] for bn in main_bns]),
+                [
+                    (bn[2], bn[3], feat)
+                    for (_, feat), bn in zip(cells, main_bns)
+                ],
+                frozen_stats,
             ).astype(dtype)
-        else:
-            yf = y.astype(jnp.float32)
-            mean = jnp.mean(yf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
-            n = yf.shape[0] * yf.shape[1] * yf.shape[2]
-            unbiased = var * (n / max(n - 1, 1))
-            if not self.is_initializing():
-                momentum = 0.1
-                off = 0
-                for (name, feat), (_, bn) in zip(cells, decls):
-                    m_var, v_var = bn[2], bn[3]
-                    m_var.value = (1 - momentum) * m_var.value + momentum * (
-                        mean[off : off + feat]
-                    )
-                    v_var.value = (1 - momentum) * v_var.value + momentum * (
-                        unbiased[off : off + feat]
-                    )
-                    off += feat
-            inv = jax.lax.rsqrt(var + eps) * scale
-            y = ((yf - mean) * inv + bias).astype(dtype)
+        )
 
-        y = nn.relu(y)
         sizes = [feat for _, feat in cells]
         offs = [0]
         for size in sizes:
             offs.append(offs[-1] + size)
-        parts = [y[..., offs[i] : offs[i + 1]] for i in range(len(sizes))]
-        if s.b1x1:
-            return parts[0], parts[1], parts[2]
-        return None, parts[0], parts[1]
+        parts = [y_main[..., offs[i] : offs[i + 1]] for i in range(len(sizes))]
+        b1 = parts[0] if s.b1x1 else None
+        r3, rd = parts[-2], parts[-1]
+
+        proj_out = None
+        if pool_in_merge:
+            (pk, pb), pbn = proj_decl
+            xp = jnp.pad(y[..., n_main:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+            pooled = _pool_via_slices(xp, (3, 3), (1, 1), jnp.add)
+            pooled = pooled.astype(jnp.float32) + pb
+            proj_out = nn.relu(
+                self._train_bn(
+                    pooled,
+                    pbn[0],
+                    pbn[1],
+                    [(pbn[2], pbn[3], s.proj)],
+                    frozen_stats,
+                ).astype(dtype)
+            )
+        return b1, r3, rd, proj_out
 
     def _fused_eval(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.spec
