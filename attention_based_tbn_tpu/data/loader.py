@@ -78,6 +78,7 @@ class DataLoader:
         prefetch: int = 2,
         device_put=None,
         pad_to: int = 1,
+        shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -92,6 +93,24 @@ class DataLoader:
         # of sitting on the training loop's critical path. The true batch
         # size travels in meta["batch_size"].
         self.pad_to = max(int(pad_to), 1)
+        # Multi-host data parallelism: (process_index, process_count). The
+        # GLOBAL batch order is identical on every host (same seed/epoch);
+        # each host decodes only its contiguous 1/count slice of every
+        # global batch, index-padded to the full global batch size FIRST so
+        # local slices have equal size on every host — required for the
+        # jax.make_array_from_process_local_data assembly in
+        # parallel/mesh.shard_batch. meta["batch_size"] stays the GLOBAL
+        # true (unpadded) size.
+        self.shard = shard
+        if shard is not None:
+            index, count = shard
+            assert 0 <= index < count, shard
+            assert batch_size % count == 0, (
+                f"global batch {batch_size} must divide process count {count}"
+            )
+            # pad_to is the GLOBAL device count; each host pads its local
+            # rows to its local share of the mesh
+            self.pad_to = max(self.pad_to // count, 1)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -118,6 +137,19 @@ class DataLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
 
+        true_sizes = [len(b) for b in batches]
+        if self.shard is not None:
+            index, count = self.shard
+            local = self.batch_size // count
+            sharded = []
+            for b in batches:
+                if len(b) < self.batch_size:  # equal shards on every host
+                    b = np.concatenate(
+                        [b, np.repeat(b[:1], self.batch_size - len(b))]
+                    )
+                sharded.append(b[index * local : (index + 1) * local])
+            batches = sharded
+
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -138,12 +170,14 @@ class DataLoader:
                             pool.map(sample_one, [(batch_no, i) for i in idx])
                         )
                         batch, targets, meta = collate(samples)
-                        true_bs = len(samples)
-                        meta["batch_size"] = true_bs
+                        # GLOBAL true size (multi-host shards report the
+                        # whole batch's), local rows for padding
+                        meta["batch_size"] = true_sizes[batch_no]
+                        local_bs = len(samples)
                         padded = (
-                            (true_bs + self.pad_to - 1) // self.pad_to
+                            (local_bs + self.pad_to - 1) // self.pad_to
                         ) * self.pad_to
-                        if padded != true_bs:
+                        if padded != local_bs:
                             batch, targets = pad_batch(batch, targets, padded)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
@@ -192,6 +226,16 @@ def create_dataloader(
         vid_list = read_vid_list(resolve_vid_list_path(section.vid_list))
 
     dataset = VideoDataset(cfg, vid_list, annotation_file, modality, mode=mode)
+
+    shard = None
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-host SPMD: each host decodes its slice of the global batch
+        # (see DataLoader.shard; parallel/mesh.shard_batch assembles the
+        # global arrays)
+        shard = (jax.process_index(), jax.process_count())
+
     return DataLoader(
         dataset,
         batch_size=int(section.batch_size),
@@ -201,4 +245,5 @@ def create_dataloader(
         prefetch=int(cfg.get_path("tpu.prefetch", 2) or 2),
         device_put=device_put,
         pad_to=pad_to,
+        shard=shard,
     )

@@ -12,6 +12,7 @@ keeps the master replica's).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -19,6 +20,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_initialize_distributed(cfg=None) -> None:
+    """Multi-host SPMD: call ``jax.distributed.initialize()`` once, before
+    any backend use, when requested (``tpu.multihost=true``) or when the
+    standard coordination env vars are present (TPU pod runtimes set them).
+    Single-host runs are a no-op; after init, ``jax.devices()`` spans every
+    host and the 1-D data mesh + batch shardings below work unchanged —
+    gradient psums ride ICI across the slice."""
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return
+    want = bool(cfg.get_path("tpu.multihost", False)) if cfg is not None else False
+    want = want or bool(os.environ.get("COORDINATOR_ADDRESS"))
+    if not want:
+        return
+    jax.distributed.initialize()
+    _DISTRIBUTED_INITIALIZED = True
 
 
 def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -46,8 +67,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place every array in the batch dict with its leading axis sharded."""
+    """Place every array in the batch dict with its leading axis sharded.
+
+    Single-host: a plain device_put. Multi-host: each process holds only
+    its shard of the global batch (the loader's ``shard`` argument), and
+    the global array is assembled from the process-local data."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -21,7 +21,7 @@ from ..data.dataset import VideoDataset
 from ..data.loader import DataLoader
 from ..data.records import read_vid_list, resolve_vid_list_path
 from ..models.builder import build_model
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_mesh, maybe_initialize_distributed
 from ..parallel.train_step import TrainState, make_eval_step, make_infer_step
 from ..utils.metrics import Metric
 from ..utils.misc import get_time_diff, save_scores
@@ -29,6 +29,7 @@ from .train import _device_put_factory, _pad_batch
 
 
 def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
+    maybe_initialize_distributed(cfg)
     mesh = make_mesh(cfg)
     model, spec = build_model(cfg, modality)
     device_put = _device_put_factory(mesh)

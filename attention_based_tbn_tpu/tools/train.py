@@ -20,7 +20,11 @@ import numpy as np
 
 from ..data.loader import create_dataloader
 from ..models.builder import build_model
-from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+)
 from ..parallel.optim import (
     build_optimizer,
     current_learning_rate,
@@ -45,14 +49,21 @@ from ..utils.misc import get_time_diff
 
 def _device_put_factory(mesh):
     sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
+
+    def put_one(x):
+        if not (isinstance(x, np.ndarray) or np.isscalar(x)):
+            return x
+        if multihost:
+            # each process holds its local shard (DataLoader ``shard``);
+            # assemble the global batch-sharded array
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(np.asarray(x), sharding)
 
     def device_put(tree):
-        return jax.tree.map(
-            lambda x: jax.device_put(np.asarray(x), sharding)
-            if isinstance(x, np.ndarray) or np.isscalar(x)
-            else x,
-            tree,
-        )
+        return jax.tree.map(put_one, tree)
 
     return device_put
 
@@ -129,8 +140,12 @@ def run_trainer(cfg, logger, modality, writer=None):
     epochs = int(cfg.train.epochs)
 
     logger.info("Initializing model...")
+    maybe_initialize_distributed(cfg)
     mesh = make_mesh(cfg)
-    logger.info(f"Mesh: {mesh.shape} over {mesh.size} device(s)")
+    logger.info(
+        f"Mesh: {mesh.shape} over {mesh.size} device(s), "
+        f"{jax.process_count()} host(s)"
+    )
 
     model, spec = build_model(cfg, modality)
     device_put = _device_put_factory(mesh)

@@ -132,6 +132,50 @@ class TestDataLoader:
         assert targets["class"]["verb"].shape == (4,)
         assert len(meta["uid"]) == 4
 
+    def test_process_sharded_loaders_reassemble_global_batches(
+        self, fixture_root
+    ):
+        # multi-host contract (data/loader.py shard): concatenating every
+        # host's local batch rows reproduces the unsharded global batch,
+        # row-for-row, with equal local sizes on every host
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+
+        def make(shard):
+            ds = VideoDataset(
+                cfg, videos, "annotations/epic_train_val.csv",
+                ["RGB", "Audio"], mode="train",
+            )
+            return DataLoader(
+                ds, batch_size=4, shuffle=True, num_workers=1, seed=0,
+                shard=shard,
+            )
+
+        global_batches = list(make(None))
+        shard_batches = [list(make((i, 2))) for i in range(2)]
+        assert len(shard_batches[0]) == len(global_batches)
+        for b_no, (gbatch, gtargets, gmeta) in enumerate(global_batches):
+            locals_ = [shard_batches[i][b_no] for i in range(2)]
+            assert all(
+                lb["RGB"].shape[0] == 2 for lb, _, _ in locals_
+            )  # equal local sizes even for the short last batch
+            reassembled = np.concatenate(
+                [lb["RGB"] for lb, _, _ in locals_]
+            )
+            true = gmeta["batch_size"]
+            np.testing.assert_array_equal(
+                reassembled[:true], np.asarray(gbatch["RGB"])[:true]
+            )
+            # global true size reported identically by every shard
+            for _, _, lmeta in locals_:
+                assert lmeta["batch_size"] == true
+            lt = np.concatenate(
+                [lt["class"]["verb"] for _, lt, _ in locals_]
+            )
+            np.testing.assert_array_equal(
+                lt[:true], gtargets["class"]["verb"][:true]
+            )
+
     def test_shuffle_changes_with_epoch(self, fixture_root):
         root, videos = fixture_root
         cfg = make_cfg(root)
