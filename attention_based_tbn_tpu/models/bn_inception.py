@@ -166,7 +166,9 @@ class InceptionBlock(nn.Module):
 
         return jnp.concatenate(branches, axis=-1)
 
-    def _train_bn(self, yf, scale, bias, stat_cells, frozen_stats: bool):
+    def _train_bn(
+        self, yf, scale, bias, stat_cells, frozen_stats: bool, mean_offset=None
+    ):
         """torch-exact BatchNorm on fp32 input over one or several cells'
         concatenated channels (BN is per-channel, so the merged statistics
         equal the per-branch ones): biased batch variance to normalize,
@@ -186,9 +188,12 @@ class InceptionBlock(nn.Module):
         if not self.is_initializing():
             momentum = 0.1
             unbiased = var * (n / max(n - 1, 1))
+            # conv biases cancel through live BN; they are recorded in the
+            # running mean only (TorchBatchNorm.mean_offset semantics)
+            recorded = mean if mean_offset is None else mean + mean_offset
             off = 0
             for m_var, v_var, size in stat_cells:
-                m_var.value = (1 - momentum) * m_var.value + momentum * mean[
+                m_var.value = (1 - momentum) * m_var.value + momentum * recorded[
                     off : off + size
                 ]
                 v_var.value = (1 - momentum) * v_var.value + momentum * unbiased[
@@ -231,7 +236,14 @@ class InceptionBlock(nn.Module):
             kernels.append(pk / 9.0)  # /9 pool divisor folded; bias-free
             biases.append(jnp.zeros_like(pb))
         merged_k = jnp.concatenate(kernels, axis=-1)
-        merged_b = jnp.concatenate(biases, axis=-1)
+        main_bias = jnp.concatenate(biases[: len(decls)], axis=-1)
+        if frozen_stats:
+            merged_b = jnp.concatenate(biases, axis=-1)
+        else:
+            # live BN: conv biases cancel through the normalization — the
+            # conv runs bias-free and the biases land in the running-mean
+            # updates only (see _train_bn mean_offset)
+            merged_b = None
         y = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
 
         n_main = sum(feat for _, feat in cells)
@@ -247,6 +259,7 @@ class InceptionBlock(nn.Module):
                     for (_, feat), bn in zip(cells, main_bns)
                 ],
                 frozen_stats,
+                mean_offset=None if frozen_stats else main_bias,
             ).astype(dtype)
         )
 
@@ -263,7 +276,9 @@ class InceptionBlock(nn.Module):
             (pk, pb), pbn = proj_decl
             xp = jnp.pad(y[..., n_main:], ((0, 0), (1, 1), (1, 1), (0, 0)))
             pooled = _pool_via_slices(xp, (3, 3), (1, 1), jnp.add)
-            pooled = pooled.astype(jnp.float32) + pb
+            pooled = pooled.astype(jnp.float32)
+            if frozen_stats:
+                pooled = pooled + pb
             proj_out = nn.relu(
                 self._train_bn(
                     pooled,
@@ -271,6 +286,7 @@ class InceptionBlock(nn.Module):
                     pbn[1],
                     [(pbn[2], pbn[3], s.proj)],
                     frozen_stats,
+                    mean_offset=None if frozen_stats else pb,
                 ).astype(dtype)
             )
         return b1, r3, rd, proj_out

@@ -74,6 +74,7 @@ class TorchConv(nn.Module):
         fold_offset: jnp.ndarray = None,
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
+        skip_bias_add: bool = False,
     ) -> jnp.ndarray:
         """Optional BN folding: with (fold_scale, fold_offset) the conv
         computes ``conv(x, W*scale) + (b*scale + offset)`` — algebraically
@@ -124,6 +125,10 @@ class TorchConv(nn.Module):
             )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if skip_bias_add:
+                # caller folds the bias into its BatchNorm's running-mean
+                # update instead (BN(y+b) == BN(y) under live statistics)
+                return y.astype(self.dtype), bias
             if fold_scale is not None:
                 bias = bias * fold_scale
             if fold_offset is not None:
@@ -214,7 +219,15 @@ class TorchBatchNorm(nn.Module):
         x: jnp.ndarray,
         use_running_average: bool = True,
         frozen_stats: bool = False,
+        mean_offset: jnp.ndarray = None,
     ) -> jnp.ndarray:
+        """``mean_offset``: per-channel constant the caller ADDED-BY-PROXY
+        to x — BN(x + c) == BN(x) under live statistics (the mean shift
+        cancels), except the running mean must record mean + c. Passing the
+        preceding conv's bias here lets the caller skip the full-activation
+        bias add (a per-channel scalar op replaces it); the conv bias then
+        gets an exactly-zero gradient, matching its mathematically-zero
+        gradient through live BN. Only valid with live statistics."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
@@ -226,6 +239,7 @@ class TorchBatchNorm(nn.Module):
         )
 
         if use_running_average or frozen_stats:
+            assert mean_offset is None, "mean_offset requires live statistics"
             # Inference fast path: fold stats+affine into one per-channel
             # scale/offset (computed in fp32, applied in the compute dtype).
             # With bf16 activations this halves the elementwise traffic vs
@@ -246,7 +260,10 @@ class TorchBatchNorm(nn.Module):
             n *= x.shape[axis]
         unbiased = var * (n / max(n - 1, 1))
         if not self.is_initializing():
-            ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+            recorded = mean if mean_offset is None else mean + mean_offset
+            ra_mean.value = (
+                (1 - self.momentum) * ra_mean.value + self.momentum * recorded
+            )
             ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
@@ -382,10 +399,21 @@ class ConvBN(nn.Module):
             fold_scale = jax.lax.rsqrt(var.value + self.bn_epsilon) * scale
             fold_offset = bias - mean.value * fold_scale
             y = conv(x, fold_scale=fold_scale, fold_offset=fold_offset, **in_kw)
-        else:
+        elif frozen_stats:
             y = conv(x, **in_kw)
             y = TorchBatchNorm(dtype=self.dtype, name="bn")(
-                y, use_running_average=False, frozen_stats=frozen_stats
+                y, use_running_average=False, frozen_stats=True
+            )
+        else:
+            # live BN: the conv bias cancels through the normalization —
+            # skip the full-activation add and record it in the running
+            # mean instead (see TorchBatchNorm.mean_offset)
+            y, conv_bias = conv(x, skip_bias_add=True, **in_kw)
+            y = TorchBatchNorm(dtype=self.dtype, name="bn")(
+                y,
+                use_running_average=False,
+                frozen_stats=False,
+                mean_offset=conv_bias,
             )
         if self.relu:
             y = nn.relu(y)
