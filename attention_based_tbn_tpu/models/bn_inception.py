@@ -29,7 +29,7 @@ the 7x7 with two parallel (3,1)/(1,3) stride-2 convs concatenated to 64ch.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -27,13 +27,11 @@ from ..parallel.mesh import (
 )
 from ..parallel.optim import (
     build_optimizer,
-    current_learning_rate,
     lr_at_epoch,
     set_learning_rate,
 )
 from ..parallel.train_step import (
     TrainState,
-    create_train_state,
     make_eval_step,
     make_train_step,
 )
@@ -166,11 +164,7 @@ def run_trainer(cfg, logger, modality, writer=None):
     del probe_iter
     probe_batch = jax.tree.map(jnp.asarray, probe_batch)
 
-    params_probe = None
-    tx = None
     rng = jax.random.key(int(cfg.data.manual_seed))
-
-    from ..models.tbn import TBNModel
 
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         {
