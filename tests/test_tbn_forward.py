@@ -262,6 +262,45 @@ class TestForward:
     def test_ten_crop_alignment_unimodal(self):
         self._run_alignment(attention_enable=True, attention_type="unimodal")
 
+    def test_uint8_affine_equals_explicit_normalize(self):
+        # the uint8 batch path normalizes inside the stem conv
+        # (layers.TorchConv input_scale/offset); feeding the explicitly
+        # normalized float batch must give identical logits
+        cfg = make_cfg(**{"model.attention.enable": False})
+        modality = ["RGB", "Flow"]
+        spec = TBNSpec.from_config(cfg, modality)
+        model = TBNModel(spec)
+        rng = np.random.default_rng(11)
+        u8 = {
+            "RGB": jnp.asarray(
+                rng.integers(0, 255, (B, N, H, W, 3)), jnp.uint8
+            ),
+            "Flow": jnp.asarray(
+                rng.integers(0, 255, (B, N, H, W, 10)), jnp.uint8
+            ),
+        }
+
+        def norm(x, mean, std):
+            x = np.asarray(x, np.float32) / 255.0
+            reps = x.shape[-1] // len(mean)
+            return (x - np.asarray(mean * reps, np.float32)) / np.asarray(
+                std * reps, np.float32
+            )
+
+        fl = {
+            "RGB": jnp.asarray(norm(u8["RGB"], list(spec.rgb_mean), list(spec.rgb_std))),
+            "Flow": jnp.asarray(
+                norm(u8["Flow"], list(spec.flow_mean), list(spec.flow_std))
+            ),
+        }
+        variables = model.init(jax.random.key(0), u8, train=False)
+        out_u8 = model.apply(variables, u8, train=False)
+        out_fl = model.apply(variables, fl, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_u8["verb"]), np.asarray(out_fl["verb"]),
+            rtol=2e-4, atol=2e-5,
+        )
+
     def test_audio_dropout_path(self):
         cfg = make_cfg(
             **{"model.attention.enable": False, "data.audio.dropout": 0.5}
