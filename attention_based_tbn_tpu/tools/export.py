@@ -1,0 +1,185 @@
+"""Serving export: freeze the inference forward to a deployable artifact.
+
+The reference has no deployment story beyond loading a ``.pth`` in the same
+codebase. For production serving this emits, into ``<out_dir>/export/``:
+
+* ``module.stablehlo.mlir`` — the jitted inference forward (BN folded,
+  merged inception convs, on-device spectrogram) lowered to StableHLO, the
+  portable exchange format any XLA-backed runtime (TPU/GPU/CPU serving
+  stacks, IFRT) can compile;
+* ``params/`` — an Orbax checkpoint of the inference variables (optionally
+  cast to the serving dtype);
+* ``manifest.json`` — input/output names, shapes, dtypes, and the config
+  fingerprint needed to rebuild the exact preprocessing.
+
+Usage::
+
+    python -m attention_based_tbn_tpu.tools.export \
+        test.pre_trained=<ckpt> data.rgb.enable=True ...
+
+or programmatically via :func:`export_inference`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _example_batch(cfg, modality: Sequence[str], batch_size: int, n_seg: int):
+    crop = int(cfg.data.test_crop_size)
+    audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
+    batch = {}
+    if "RGB" in modality:
+        batch["RGB"] = jnp.zeros((batch_size, n_seg, crop, crop, 3), jnp.uint8)
+    if "Flow" in modality:
+        win = 2 * int(cfg.data.flow.win_length)
+        batch["Flow"] = jnp.zeros(
+            (batch_size, n_seg, crop, crop, win), jnp.uint8
+        )
+    if "Audio" in modality:
+        batch["Audio"] = jnp.zeros((batch_size, n_seg, audio_len), jnp.float32)
+    return batch
+
+
+def export_inference(
+    cfg,
+    modality: Sequence[str],
+    state=None,
+    out_dir: Optional[str] = None,
+    batch_size: int = 1,
+    num_segments: Optional[int] = None,
+    serving_dtype: Optional[str] = None,
+    logger=None,
+) -> Dict[str, str]:
+    """Lower the flagship inference forward and save the serving bundle.
+
+    ``state``: a restored TrainState (tools/test.py restore path); when
+    None, randomly initialized variables are exported (shape/compile
+    validation without a checkpoint).
+    Returns the paths of the written artifacts.
+    """
+    from ..models.builder import build_model
+    from ..parallel.train_step import TrainState  # noqa: F401 (doc link)
+
+    log = logger.info if logger else (lambda *_: None)
+    model, spec = build_model(cfg, modality)
+    n_seg = int(num_segments or cfg.test.num_segments)
+    batch = _example_batch(cfg, modality, batch_size, n_seg)
+
+    if state is not None:
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+    else:
+        rngs = {
+            "params": jax.random.key(0),
+            "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2),
+            "audio_dropout": jax.random.key(3),
+        }
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            rngs, batch
+        )
+
+    if serving_dtype:
+        target = jnp.dtype(serving_dtype)
+        variables = jax.tree.map(
+            lambda x: x.astype(target)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            variables,
+        )
+
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    lowered = jax.jit(forward).lower(variables, batch)
+    stablehlo = lowered.as_text(dialect="stablehlo")
+
+    out_dir = out_dir or os.path.join(cfg.out_dir, "export")
+    os.makedirs(out_dir, exist_ok=True)
+
+    module_path = os.path.join(out_dir, "module.stablehlo.mlir")
+    with open(module_path, "w") as fh:
+        fh.write(stablehlo)
+
+    params_path = os.path.join(out_dir, "params")
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if os.path.exists(params_path):
+        import shutil
+
+        shutil.rmtree(params_path)
+    ckptr.save(os.path.abspath(params_path), variables)
+
+    manifest = {
+        "modality": list(modality),
+        "inputs": {
+            k: {"shape": list(v.shape), "dtype": str(v.dtype)}
+            for k, v in batch.items()
+        },
+        "outputs": sorted(cfg.model.num_classes.keys()),
+        "num_segments": n_seg,
+        "batch_size": batch_size,
+        "serving_dtype": serving_dtype or "float32",
+        "arch": cfg.model.arch,
+        "attention": dict(
+            enable=bool(cfg.model.attention.enable),
+            type=str(cfg.model.attention.type),
+        ),
+        "audio": dict(
+            sampling_rate=int(cfg.data.audio.sampling_rate),
+            audio_length=float(cfg.data.audio.audio_length),
+            spec_type=str(cfg.data.audio.spec_type),
+        ),
+        "stablehlo_sha256": hashlib.sha256(
+            stablehlo.encode()
+        ).hexdigest(),
+    }
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+    log(f"Exported StableHLO module ({len(stablehlo)//1024} KiB) -> {module_path}")
+    return {
+        "module": module_path,
+        "params": params_path,
+        "manifest": manifest_path,
+    }
+
+
+def main():
+    import sys
+
+    from ..config import load_config
+    from ..utils.misc import get_modality
+
+    cfg = load_config(overrides=sys.argv[1:])
+    modality = get_modality(cfg)
+
+    import logging
+
+    logger = logging.getLogger("export")
+    logging.basicConfig(level=logging.INFO)
+
+    state = None
+    if cfg.test.pre_trained:
+        from .test import load_state
+
+        state = load_state(cfg, logger)
+
+    paths = export_inference(cfg, modality, state=state, logger=logger)
+    print(json.dumps(paths, indent=2))
+
+
+if __name__ == "__main__":
+    main()

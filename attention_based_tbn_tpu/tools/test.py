@@ -28,6 +28,44 @@ from ..utils.misc import get_time_diff, save_scores
 from .train import _device_put_factory, _pad_batch
 
 
+def load_state(cfg, logger) -> TrainState:
+    """Eval-state restore from ``test.pre_trained``: a reference ``.pth``
+    (via the weight converter, reference test.py:120-132) or an Orbax
+    checkpoint directory."""
+    if not cfg.test.pre_trained:
+        raise ValueError(
+            "No pre-trained weights exist. Please set the pre_trained "
+            "parameter for test in config file."
+        )
+    logger.info(f"Loading pre-trained weights {cfg.test.pre_trained}...")
+    if cfg.test.pre_trained.endswith(".pth"):
+        # torch checkpoint from the reference framework
+        from ..models.convert import convert_tbn_checkpoint, load_torch_file
+
+        sd = load_torch_file(cfg.test.pre_trained)
+        params, batch_stats = convert_tbn_checkpoint(
+            sd, arch=cfg.model.arch, vgg_type=str(cfg.model.vgg.type)
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=(),
+        )
+    else:
+        from ..utils.checkpoint import restore_for_eval
+
+        params, batch_stats, _ = restore_for_eval(cfg.test.pre_trained)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+            opt_state=(),
+        )
+    logger.info("Done.")
+    return state
+
+
 def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
     maybe_initialize_distributed(cfg)
     mesh = make_mesh(cfg)
@@ -36,37 +74,7 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
     n_devices = mesh.size
 
     if state is None:
-        if not cfg.test.pre_trained:
-            raise ValueError(
-                "No pre-trained weights exist. Please set the pre_trained "
-                "parameter for test in config file."
-            )
-        logger.info(f"Loading pre-trained weights {cfg.test.pre_trained}...")
-        if cfg.test.pre_trained.endswith(".pth"):
-            # torch checkpoint from the reference framework
-            from ..models.convert import convert_tbn_checkpoint, load_torch_file
-
-            sd = load_torch_file(cfg.test.pre_trained)
-            params, batch_stats = convert_tbn_checkpoint(
-                sd, arch=cfg.model.arch, vgg_type=str(cfg.model.vgg.type)
-            )
-            state = TrainState(
-                step=jnp.zeros((), jnp.int32),
-                params=params,
-                batch_stats=batch_stats,
-                opt_state=(),
-            )
-        else:
-            from ..utils.checkpoint import restore_for_eval
-
-            params, batch_stats, _ = restore_for_eval(cfg.test.pre_trained)
-            state = TrainState(
-                step=jnp.zeros((), jnp.int32),
-                params=jax.tree.map(jnp.asarray, params),
-                batch_stats=jax.tree.map(jnp.asarray, batch_stats),
-                opt_state=(),
-            )
-        logger.info("Done.")
+        state = load_state(cfg, logger)
 
     eval_step = make_eval_step(model, cfg, mesh)
     infer_step = make_infer_step(model, mesh)
