@@ -106,7 +106,8 @@ class DataLoader:
             index, count = shard
             assert 0 <= index < count, shard
             assert batch_size % count == 0, (
-                f"global batch {batch_size} must divide process count {count}"
+                f"process count {count} must divide the global batch "
+                f"size {batch_size}"
             )
             # pad_to is the GLOBAL device count; each host pads its local
             # rows to its local share of the mesh
@@ -140,13 +141,21 @@ class DataLoader:
         true_sizes = [len(b) for b in batches]
         if self.shard is not None:
             index, count = self.shard
-            local = self.batch_size // count
+            # Pad the GLOBAL batch (at the index level) to a multiple of
+            # count * local pad_to BEFORE slicing, so (a) every host's
+            # slice has equal size and (b) all pad rows land at the TAIL of
+            # the assembled global batch — the metrics mask
+            # (utils/metrics.py) trims trailing rows beyond the true size.
+            # Per-host tail padding would interleave pads mid-batch.
+            chunk = count * self.pad_to
             sharded = []
             for b in batches:
-                if len(b) < self.batch_size:  # equal shards on every host
+                padded = max(-(-len(b) // chunk) * chunk, chunk)
+                if len(b) < padded:
                     b = np.concatenate(
-                        [b, np.repeat(b[:1], self.batch_size - len(b))]
+                        [b, np.repeat(b[:1], padded - len(b))]
                     )
+                local = padded // count
                 sharded.append(b[index * local : (index + 1) * local])
             batches = sharded
 

@@ -41,7 +41,14 @@ from ..ops.pooling import (
     global_avg_pool,
     max_pool2d,
 )
-from .layers import ConvBN, ConvBNParams, FoldedConvBN, conv2d_apply
+from .layers import (
+    BN_EPSILON,
+    BN_MOMENTUM,
+    ConvBN,
+    ConvBNParams,
+    FoldedConvBN,
+    conv2d_apply,
+)
 
 Dtype = Any
 
@@ -176,7 +183,7 @@ class InceptionBlock(nn.Module):
 
         stat_cells: list of (mean_var, var_var, size) channel sections.
         """
-        eps = 1e-5
+        eps = BN_EPSILON
         if frozen_stats:
             r_mean = jnp.concatenate([m.value for m, _, _ in stat_cells])
             r_var = jnp.concatenate([v.value for _, v, _ in stat_cells])
@@ -186,7 +193,7 @@ class InceptionBlock(nn.Module):
         var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
         n = yf.shape[0] * yf.shape[1] * yf.shape[2]
         if not self.is_initializing():
-            momentum = 0.1
+            momentum = BN_MOMENTUM
             unbiased = var * (n / max(n - 1, 1))
             # conv biases cancel through live BN; they are recorded in the
             # running mean only (TorchBatchNorm.mean_offset semantics)

@@ -17,6 +17,11 @@ from flax import linen as nn
 IntPair = Union[int, Tuple[int, int]]
 Dtype = Any
 
+# torch nn.BatchNorm2d defaults, shared by TorchBatchNorm, the folded
+# inference cells and the merged train-time BN (models/bn_inception.py)
+BN_MOMENTUM = 0.1
+BN_EPSILON = 1e-5
+
 
 def _pair(v: IntPair) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
@@ -209,8 +214,8 @@ class TorchBatchNorm(nn.Module):
     fp32; the normalized output is cast back to ``dtype``.
     """
 
-    momentum: float = 0.1
-    epsilon: float = 1e-5
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPSILON
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -344,7 +349,7 @@ class FoldedConvBN(nn.Module):
 
     features: int
     kernel_size: IntPair
-    bn_epsilon: float = 1e-5
+    bn_epsilon: float = BN_EPSILON
 
     @nn.compact
     def __call__(self, in_features: int):
@@ -371,7 +376,7 @@ class ConvBN(nn.Module):
     relu: bool = True
     dtype: Dtype = jnp.float32
     space_to_depth: bool = False
-    bn_epsilon: float = 1e-5
+    bn_epsilon: float = BN_EPSILON
 
     @nn.compact
     def __call__(

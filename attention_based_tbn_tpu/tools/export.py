@@ -67,7 +67,6 @@ def export_inference(
     Returns the paths of the written artifacts.
     """
     from ..models.builder import build_model
-    from ..parallel.train_step import TrainState  # noqa: F401 (doc link)
 
     log = logger.info if logger else (lambda *_: None)
     model, spec = build_model(cfg, modality)

@@ -25,7 +25,7 @@ from ..parallel.mesh import make_mesh, maybe_initialize_distributed
 from ..parallel.train_step import TrainState, make_eval_step, make_infer_step
 from ..utils.metrics import Metric
 from ..utils.misc import get_time_diff, save_scores
-from .train import _device_put_factory, _pad_batch
+from .train import _device_put_factory
 
 
 def load_state(cfg, logger) -> TrainState:
@@ -107,6 +107,13 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
             num_workers=int(cfg.num_workers),
             device_put=device_put,
             pad_to=n_devices,
+            # multi-host: each host decodes only its slice of the global
+            # batch (matches _device_put_factory's global-array assembly)
+            shard=(
+                (jax.process_index(), jax.process_count())
+                if jax.process_count() > 1
+                else None
+            ),
         )
         logger.info(f"{len(dataset)} action segments to be processed.")
         logger.info("Inference in progress...")

@@ -75,8 +75,7 @@ def _pad_batch(batch, targets, total: int):
 
 
 def train_one_epoch(
-    cfg, state, step_fn, loader, metric, epoch, rng, logger, mesh, device_put,
-    run_dir=None,
+    cfg, state, step_fn, loader, metric, epoch, rng, logger, run_dir=None
 ):
     no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
     log_interval = max(no_batches // 4, 1)
@@ -123,7 +122,7 @@ def train_one_epoch(
     return state, train_loss
 
 
-def validate(cfg, state, eval_fn, loader, epoch, logger, mesh, device_put):
+def validate(cfg, state, eval_fn, loader, epoch, logger):
     no_batches = max(len(loader.dataset) // loader.batch_size, 1)
     metric = Metric(cfg, no_batches)
 
@@ -234,7 +233,7 @@ def run_trainer(cfg, logger, modality, writer=None):
         metric = Metric(cfg, no_batches)
         state, train_loss = train_one_epoch(
             cfg, state, train_step, train_loader, metric, epoch,
-            jax.random.fold_in(rng, epoch), logger, mesh, device_put,
+            jax.random.fold_in(rng, epoch), logger,
             run_dir=cfg.get_path("run_dir"),
         )
         train_loss_hist.append(train_loss)
@@ -242,7 +241,7 @@ def run_trainer(cfg, logger, modality, writer=None):
         if cfg.val.enable:
             logger.info("Validation in progress...")
             val_loss, val_acc, conf_mat = validate(
-                cfg, state, eval_step, val_loader, epoch, logger, mesh, device_put
+                cfg, state, eval_step, val_loader, epoch, logger
             )
             val_loss_hist.append(val_loss)
             for key in val_acc_hist:

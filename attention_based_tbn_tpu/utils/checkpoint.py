@@ -85,6 +85,12 @@ def save_checkpoint(
     conf_mat: Optional[Dict[str, np.ndarray]] = None,
     block: bool = False,
 ) -> None:
+    # Multi-host: the data-parallel state is fully replicated, so process 0
+    # alone owns every byte; the other hosts must NOT race it on the shared
+    # out_dir (the tmp->final renames in _finalize are per-path and not
+    # multi-writer safe).
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
 

@@ -40,9 +40,14 @@ def confusion_update(conf: np.ndarray, labels: np.ndarray, top1: np.ndarray):
     return conf
 
 
+@functools.lru_cache(maxsize=None)
 def _make_updater(keys: Tuple[str, ...], topk: Tuple[int, ...], maxk: int,
                   multi: bool):
-    """One jitted fold: (accumulators, batch) -> accumulators."""
+    """One jitted fold: (accumulators, batch) -> accumulators.
+
+    Cached per (keys, topk, maxk, multi): Metric instances are created
+    fresh every epoch/validation pass, and an uncached closure would
+    retrace + recompile the top-k/confusion program each time."""
 
     @jax.jit
     def update(acc, conf, preds, labels, true_bs):

@@ -13,6 +13,35 @@ import sys
 import numpy as np
 
 
+def _apply_platform_overrides(overrides):
+    """First-class platform selection, applied BEFORE jax initializes.
+
+    ``tpu.platform=cpu`` (+ optional ``tpu.host_devices=8``) forces the CPU
+    backend with N virtual devices — needed because some PJRT plugins (the
+    tunneled TPU here) ignore a JAX_PLATFORMS environment override, so
+    env-only selection silently lands on the accelerator."""
+    import os
+
+    platform = None
+    host_devices = None
+    for item in overrides:
+        if item.startswith("tpu.platform="):
+            platform = item.split("=", 1)[1]
+        elif item.startswith("tpu.host_devices="):
+            host_devices = int(item.split("=", 1)[1])
+    if platform is None and host_devices is None:
+        return
+    if host_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={host_devices}"
+        ).strip()
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
@@ -27,11 +56,20 @@ def main(argv=None):
             overrides.append(argv[i])
             i += 1
 
+    _apply_platform_overrides(overrides)
+
     from attention_based_tbn_tpu.config import load_config, make_run_dir
     from attention_based_tbn_tpu.utils.logging import setup_log
     from attention_based_tbn_tpu.utils.misc import get_modality
 
     cfg = load_config(overrides=overrides, config_dir=config_dir)
+
+    cache_dir = cfg.get_path("tpu.compile_cache", "") or ""
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     np.random.seed(int(cfg.data.manual_seed))
 

@@ -141,23 +141,26 @@ class TestDataLoader:
         root, videos = fixture_root
         cfg = make_cfg(root)
 
-        def make(shard):
+        def make(shard, pad_to=1):
             ds = VideoDataset(
                 cfg, videos, "annotations/epic_train_val.csv",
                 ["RGB", "Audio"], mode="train",
             )
             return DataLoader(
                 ds, batch_size=4, shuffle=True, num_workers=1, seed=0,
-                shard=shard,
+                shard=shard, pad_to=pad_to,
             )
 
         global_batches = list(make(None))
-        shard_batches = [list(make((i, 2))) for i in range(2)]
+        # pad_to=8 mimics a 2-host x 4-device mesh: every global batch pads
+        # to 8 rows with ALL pad rows at the assembled TAIL (the metrics
+        # mask trims trailing rows beyond meta["batch_size"])
+        shard_batches = [list(make((i, 2), pad_to=8)) for i in range(2)]
         assert len(shard_batches[0]) == len(global_batches)
         for b_no, (gbatch, gtargets, gmeta) in enumerate(global_batches):
             locals_ = [shard_batches[i][b_no] for i in range(2)]
             assert all(
-                lb["RGB"].shape[0] == 2 for lb, _, _ in locals_
+                lb["RGB"].shape[0] == 4 for lb, _, _ in locals_
             )  # equal local sizes even for the short last batch
             reassembled = np.concatenate(
                 [lb["RGB"] for lb, _, _ in locals_]
@@ -166,6 +169,11 @@ class TestDataLoader:
             np.testing.assert_array_equal(
                 reassembled[:true], np.asarray(gbatch["RGB"])[:true]
             )
+            # every pad row sits AFTER the true rows and repeats sample 0
+            for r in range(true, reassembled.shape[0]):
+                np.testing.assert_array_equal(
+                    reassembled[r], reassembled[0]
+                )
             # global true size reported identically by every shard
             for _, _, lmeta in locals_:
                 assert lmeta["batch_size"] == true
