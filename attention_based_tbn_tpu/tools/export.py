@@ -27,7 +27,6 @@ import json
 import os
 from typing import Dict, Optional, Sequence
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

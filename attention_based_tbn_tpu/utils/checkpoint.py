@@ -70,6 +70,10 @@ def _finalize() -> None:
     os.replace(hist_tmp, _history_path(final_path))
 
 
+def _is_primary_host() -> bool:
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
 def wait_until_finished() -> None:
     """Block until every outstanding save is durable and swapped in."""
     _finalize()
@@ -89,7 +93,7 @@ def save_checkpoint(
     # alone owns every byte; the other hosts must NOT race it on the shared
     # out_dir (the tmp->final renames in _finalize are per-path and not
     # multi-writer safe).
-    if jax.process_count() > 1 and jax.process_index() != 0:
+    if not _is_primary_host():
         return
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)

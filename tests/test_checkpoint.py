@@ -1,5 +1,6 @@
 """Orbax checkpoint save/restore roundtrip."""
 
+import os
 import numpy as np
 
 import jax
@@ -51,6 +52,20 @@ def test_overwrite(tmp_path):
     restored, history = restore_checkpoint(path, make_state(0.0))
     np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
     assert history["epoch"] == 1
+
+
+def test_multihost_nonzero_process_skips_save(tmp_path, monkeypatch):
+    # multi-host: replicated state is written by process 0 only — the
+    # tmp->final renames are not multi-writer safe on shared storage
+    from attention_based_tbn_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.setattr(ckpt, "_is_primary_host", lambda: False)
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, {"a": np.zeros(2)}, epoch=0, block=True)
+    assert not os.path.exists(path)
+    monkeypatch.setattr(ckpt, "_is_primary_host", lambda: True)
+    ckpt.save_checkpoint(path, {"a": np.zeros(2)}, epoch=0, block=True)
+    assert os.path.exists(path)
 
 
 def test_preemption_mid_save_keeps_previous(tmp_path):
