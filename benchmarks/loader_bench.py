@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Host input-pipeline throughput: decode+transform clips/s of DataLoader.
+
+Measures the threaded loader (JPEG/flow/wav decode, crops, collate) on a
+synthetic fixture — the host-side counterpart of bench.py's device number.
+The device consumes `bench.py` clips at ~140/s per chip; the host pipeline
+must sustain that per chip x num_hosts' worth of decode or training becomes
+input-bound (on this single-CPU dev host it will not; production hosts have
+dozens of cores and the loader threads scale with them).
+
+Usage: python benchmarks/loader_bench.py [num_workers] [batches]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    num_workers = int(sys.argv[1]) if len(sys.argv) > 1 else os.cpu_count() or 4
+    max_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import json
+
+    from attention_based_tbn_tpu.config import load_config
+    from attention_based_tbn_tpu.data import synthetic
+    from attention_based_tbn_tpu.data.dataset import VideoDataset
+    from attention_based_tbn_tpu.data.loader import DataLoader
+    from attention_based_tbn_tpu.data.records import read_vid_list
+
+    root = "/tmp/tbn_loader_bench_fixture"
+    if not os.path.exists(os.path.join(root, "train_split.txt")):
+        synthetic.generate(
+            root,
+            videos=["P01_01", "P02_03", "P03_05"],
+            frames_per_video=300,
+            num_verbs=11,
+            num_nouns=13,
+        )
+
+    cfg = load_config(
+        overrides=[
+            f"data_dir={root}",
+            "data.flow.enable=True",
+            "train.num_segments=3",
+            "train.batch_size=8",
+            f"num_workers={num_workers}",
+        ]
+    )
+    videos = read_vid_list(os.path.join(root, "train_split.txt"))
+    dataset = VideoDataset(
+        cfg, videos, "annotations/epic_train_val.csv",
+        ["RGB", "Flow", "Audio"], mode="train",
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=int(cfg.train.batch_size),
+        shuffle=True,
+        num_workers=num_workers,
+        seed=0,
+    )
+
+    # warm one epoch-start (thread pool spin-up, file cache)
+    it = iter(loader)
+    next(it)
+
+    start = time.perf_counter()
+    clips = 0
+    for i, (batch, targets, meta) in enumerate(it):
+        clips += meta["batch_size"]
+        if i + 1 >= max_batches:
+            break
+    elapsed = time.perf_counter() - start
+
+    print(
+        json.dumps(
+            {
+                "metric": "host_decode_clips_per_sec",
+                "value": round(clips / elapsed, 2),
+                "unit": "clips/s",
+                "num_workers": num_workers,
+                "segments": int(cfg.train.num_segments),
+                "modalities": ["RGB", "Flow", "Audio"],
+                "native_io": dataset.native is not None,
+                "cpus": os.cpu_count(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
