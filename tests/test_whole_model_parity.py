@@ -251,6 +251,79 @@ def apply_ours(model, tbatch, oracle):
 
 
 class TestTowerParity:
+    def test_bn_inception_train_mode(self):
+        """TRAIN-mode parity against torch: live BatchNorm statistics.
+
+        Exercises the merged train-time conv+BN, the avg-pool/proj
+        commutation and the bias-cancellation-through-BN rewrite against
+        the reference tower run verbatim in .train() — outputs AND the
+        updated running statistics must match (the towers contain no
+        dropout, so train mode is deterministic)."""
+        mods = load_reference_models()
+        ref = mods["refmodels.bn_inception_audio"].BNInception_Audio(
+            attend=False
+        )
+        randomize_state_dict(ref, seed=5)
+        ref = ref.train()
+
+        x = torch.randn(3, 1, AF, AT, generator=torch.Generator().manual_seed(9))
+        with torch.no_grad():
+            want = ref(x).numpy()
+        want_stats = {
+            k: v.numpy().copy()
+            for k, v in ref.state_dict().items()
+            if k.endswith(("running_mean", "running_var"))
+        }
+
+        # rebuild the un-updated state dict for conversion (torch already
+        # mutated the stats above, so re-randomize)
+        ref2 = mods["refmodels.bn_inception_audio"].BNInception_Audio(
+            attend=False
+        )
+        randomize_state_dict(ref2, seed=5)
+        params, stats = convert_bninception(ref2.state_dict())
+
+        ours_model = BNInception(audio_stem=True)
+        got, mutated = ours_model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=5e-4, atol=5e-4
+        )
+
+        # running statistics after one train step must match torch's
+        new_stats = mutated["batch_stats"]
+
+        def flat(tree, prefix=""):
+            out = {}
+            for key, value in tree.items():
+                path = f"{prefix}{key}"
+                if isinstance(value, dict):
+                    out.update(flat(value, path + "/"))
+                else:
+                    out[path] = np.asarray(value)
+            return out
+
+        ours_stats = flat(new_stats)
+        checked = 0
+        for tkey, tval in want_stats.items():
+            # torch "<layer>_bn.running_*" -> ours "<block>/<cell>/bn/*"
+            stat = "mean" if tkey.endswith("running_mean") else "var"
+            base = tkey.rsplit("_bn.", 1)[0]
+            if base.startswith("inception_"):
+                jkey = f"{base[:12]}/{base[13:]}/bn/{stat}"
+            else:
+                jkey = f"{base}/bn/{stat}"
+            assert jkey in ours_stats, (tkey, jkey)
+            np.testing.assert_allclose(
+                ours_stats[jkey], tval, rtol=5e-4, atol=5e-4, err_msg=tkey
+            )
+            checked += 1
+        assert checked > 60, f"only {checked} stat tensors compared"
+
     @pytest.mark.parametrize("attend", [False, True])
     def test_bn_inception_graph(self, attend):
         mods = load_reference_models()
