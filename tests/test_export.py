@@ -7,6 +7,58 @@ from attention_based_tbn_tpu.config import load_config
 from attention_based_tbn_tpu.tools.export import export_inference
 
 
+def test_export_from_restored_checkpoint(tmp_path):
+    # save a train state with orbax, restore via the tester's load_state,
+    # export — the bundle must reflect the restored variables
+    import logging
+
+    import jax
+    import numpy as np
+
+    from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+    from attention_based_tbn_tpu.parallel.train_step import TrainState
+    from attention_based_tbn_tpu.tools.test import load_state
+    from attention_based_tbn_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = load_config(
+        overrides=[
+            "model.attention.enable=False",
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+            "model.num_classes={verb: 5, noun: 7}",
+            f"out_dir={tmp_path}",
+            f"test.pre_trained={tmp_path}/ck",
+        ]
+    )
+    spec = TBNSpec.from_config(cfg, ["RGB"])
+    model = TBNModel(spec)
+    batch = {"RGB": jax.numpy.zeros((1, 2, 64, 64, 3), jax.numpy.uint8)}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    state = TrainState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=(),
+    )
+    save_checkpoint(str(tmp_path / "ck"), {
+        "params": state.params, "batch_stats": state.batch_stats,
+    }, epoch=0, block=True)
+
+    restored = load_state(cfg, logging.getLogger("t"))
+    leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(
+        np.asarray(leaf), np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    )
+
+    paths = export_inference(
+        cfg, ["RGB"], state=restored, batch_size=1, num_segments=2
+    )
+    assert os.path.exists(paths["module"])
+    manifest = json.load(open(paths["manifest"]))
+    assert manifest["modality"] == ["RGB"]
+
+
 def test_export_inference_bundle(tmp_path):
     cfg = load_config(
         overrides=[
