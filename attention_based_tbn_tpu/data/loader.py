@@ -126,7 +126,9 @@ class DataLoader:
     def _index_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            # tuple seeding: (seed, epoch) streams never collide, unlike
+            # seed + epoch (seed 0/epoch 1 would replay seed 1/epoch 0)
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         return order
 
     def __iter__(self) -> Iterator[Tuple[Dict, Dict, Dict]]:

@@ -84,17 +84,6 @@ BN_INCEPTION_BLOCKS: Tuple[Tuple[str, InceptionSpec], ...] = (
 
 FEATURE_SIZE = 1024
 
-# A/B: use the plain 7x7/2 stem conv instead of the column-packed rewrite
-# (layers.TorchConv._packed_w_conv). Toggled by benchmarks/infer_ab.py.
-DIRECT_STEM = False
-
-# Rewrite the inference avg-pool+1x1-proj branch as one exact 3x3 conv
-# (see InceptionBlock._fused_eval): removes a fusion-blocking pooling pass
-# at the price of 9x the proj FLOPs (~+33% model FLOPs). Off by default —
-# measured slower on v5e (the conv pipeline is the bottleneck, pools are
-# not); kept for A/B benchmarking via benchmarks/infer_ab.py.
-POOL_PROJ_CONV = False
-
 
 class InceptionBlock(nn.Module):
     """One Inception-BN block.
@@ -111,6 +100,14 @@ class InceptionBlock(nn.Module):
     spec: InceptionSpec
     dtype: Dtype = jnp.float32
     merge_1x1: bool = True
+    # A/B: rewrite the inference avg-pool+1x1-proj branch as one exact 3x3
+    # conv (see _fused_eval): removes a fusion-blocking pooling pass at the
+    # price of 9x the proj FLOPs (~+33% model FLOPs). Off by default —
+    # measured slower on v5e (the conv pipeline is the bottleneck, pools are
+    # not); toggle via tpu.pool_proj_conv / benchmarks/infer_ab.py.
+    pool_proj_conv: bool = False
+    # Pool lowering strategy (ops/pooling.POOL_IMPLS).
+    pool_impl: str = "reduce_window"
 
     @nn.compact
     def __call__(
@@ -164,12 +161,17 @@ class InceptionBlock(nn.Module):
             branches.append(proj_out)
         elif s.proj:
             if s.pool == "avg":
-                pooled = avg_pool2d(x, 3, 1, 1, ceil_mode=True, count_include_pad=True)
+                pooled = avg_pool2d(
+                    x, 3, 1, 1, ceil_mode=True, count_include_pad=True,
+                    impl=self.pool_impl,
+                )
             else:
-                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True)
+                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl)
             branches.append(ConvBN(s.proj, 1, name="pool_proj", **kw)(pooled, **bn_kw))
         else:
-            branches.append(max_pool2d(x, 3, s.stride, 0, ceil_mode=True))
+            branches.append(
+                max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl)
+            )
 
         return jnp.concatenate(branches, axis=-1)
 
@@ -370,7 +372,7 @@ class InceptionBlock(nn.Module):
                 xp = jnp.pad(proj_pre, ((0, 0), (1, 1), (1, 1), (0, 0)))
                 summed = _pool_via_slices(xp, (3, 3), (1, 1), jnp.add)
                 branches.append(relu(summed + kproj[1].astype(summed.dtype)))
-            elif s.pool == "avg" and POOL_PROJ_CONV:
+            elif s.pool == "avg" and self.pool_proj_conv:
                 # avg-pool(3x3/1/p1, count_include_pad) then 1x1 proj is
                 # EXACTLY a 3x3 conv with the proj kernel replicated /9 at
                 # every tap (the divisor is 9 at every position: stride 1,
@@ -381,13 +383,18 @@ class InceptionBlock(nn.Module):
                 k3 = jnp.broadcast_to(pk / 9.0, (3, 3) + pk.shape[2:])
                 branches.append(relu(conv2d_apply(x, k3, pb, 1, 1, dtype)))
             elif s.pool == "avg":
-                pooled = avg_pool2d(x, 3, 1, 1, ceil_mode=True, count_include_pad=True)
+                pooled = avg_pool2d(
+                    x, 3, 1, 1, ceil_mode=True, count_include_pad=True,
+                    impl=self.pool_impl,
+                )
                 branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
             else:
-                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True)
+                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl)
                 branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
         else:
-            branches.append(max_pool2d(x, 3, s.stride, 0, ceil_mode=True))
+            branches.append(
+                max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl)
+            )
 
         return jnp.concatenate(branches, axis=-1)
 
@@ -414,6 +421,13 @@ class BNInception(nn.Module):
     # Merge each block's input-reading 1x1 convs into one conv at inference
     # (exact; see InceptionBlock). Off switch exists for A/B benchmarking.
     merge_1x1: bool = True
+    # A/B: plain 7x7/2 stem conv instead of the column-packed rewrite
+    # (layers.TorchConv._packed_w_conv); measured a wash on v5e.
+    direct_stem: bool = False
+    # A/B: see InceptionBlock.pool_proj_conv.
+    pool_proj_conv: bool = False
+    # Pool lowering strategy (ops/pooling.POOL_IMPLS).
+    pool_impl: str = "reduce_window"
 
     feature_size: int = FEATURE_SIZE
 
@@ -451,7 +465,7 @@ class BNInception(nn.Module):
                 2,
                 3,
                 name="conv1_7x7_s2",
-                space_to_depth=not DIRECT_STEM,
+                space_to_depth=not self.direct_stem,
                 **kw,
             )(
                 x,
@@ -459,14 +473,19 @@ class BNInception(nn.Module):
                 input_offset=input_offset,
                 **bn_kw,
             )
-        y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
+        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl)
         y = ConvBN(64, 1, name="conv2_3x3_reduce", **kw)(y, **bn_kw)
         y = ConvBN(192, 3, padding=1, name="conv2_3x3", **kw)(y, **bn_kw)
-        y = max_pool2d(y, 3, 2, 0, ceil_mode=True)
+        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl)
 
         for name, spec in BN_INCEPTION_BLOCKS:
-            y = InceptionBlock(spec, merge_1x1=self.merge_1x1, name=name, **kw)(
-                y, **bn_kw
-            )
+            y = InceptionBlock(
+                spec,
+                merge_1x1=self.merge_1x1,
+                pool_proj_conv=self.pool_proj_conv,
+                pool_impl=self.pool_impl,
+                name=name,
+                **kw,
+            )(y, **bn_kw)
 
         return global_avg_pool(y, freq_only=self.freq_pool_only)

@@ -58,9 +58,11 @@ class TorchConv(nn.Module):
     models/convert.py. Parameters stay fp32; compute runs in ``dtype``.
 
     ``space_to_depth=True`` rewrites a 7x7/2/p3 stem conv as an exactly
-    equivalent 4x4/1 conv over the 2x2-space-to-depth input (the MLPerf
-    ResNet "conv0" trick): few-channel stems (1/3/10 inputs) otherwise run
-    the MXU at a fraction of peak. Same parameters, same result.
+    equivalent (7,4)-kernel stride-(2,1) conv over the column-paired input
+    (W pairs folded into channels — a pure reshape, no transpose; see
+    ``_packed_w_conv``). Few-channel stems (1/3/10 inputs) otherwise run
+    the MXU at a fraction of peak. Same parameters, same result; requires
+    an even input width (odd widths fall back to the direct conv).
     """
 
     features: int

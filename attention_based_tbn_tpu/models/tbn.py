@@ -111,6 +111,11 @@ class TBNSpec:
     # Merge inception-block 1x1 fan-out convs at inference (exact math;
     # fills the MXU's 128-wide output lanes — see models/bn_inception.py).
     merge_inception: bool = True
+    # A/B switches (benchmarks/infer_ab.py; all measured slower or neutral
+    # on v5e — see the field docs on BNInception/InceptionBlock/pooling):
+    direct_stem: bool = False
+    pool_proj_conv: bool = False
+    pool_impl: str = "reduce_window"
     # Rematerialize tower activations in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for large activation-memory savings, enabling
     # bigger train batches.
@@ -161,6 +166,11 @@ class TBNSpec:
             compute_dtype=cfg.get_path("tpu.compute_dtype", "float32") or "float32",
             use_pallas=bool(cfg.get_path("tpu.use_pallas", False)),
             merge_inception=bool(cfg.get_path("tpu.merge_inception", True)),
+            direct_stem=bool(cfg.get_path("tpu.direct_stem", False)),
+            pool_proj_conv=bool(cfg.get_path("tpu.pool_proj_conv", False)),
+            pool_impl=str(
+                cfg.get_path("tpu.pool_impl", "reduce_window") or "reduce_window"
+            ),
             fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
             remat=bool(cfg.get_path("tpu.remat", False)),
         )
@@ -233,6 +243,9 @@ class TBNModel(nn.Module):
                 freq_pool_only=(modality == "Audio" and self.spec.audio_attends),
                 audio_stem=(modality in self.spec.audio_stem),
                 merge_1x1=self.spec.merge_inception,
+                direct_stem=self.spec.direct_stem,
+                pool_proj_conv=self.spec.pool_proj_conv,
+                pool_impl=self.spec.pool_impl,
                 dtype=dtype,
             )
         elif self.spec.arch == "resnet":

@@ -46,12 +46,21 @@ def _pool_padding(
     return pads[0], pads[1]
 
 
-# Lower pools to shifted strided slices + an elementwise max/add tree
-# instead of lax.reduce_window. Measured on v5e: 63.6 -> 110.9 ms/batch —
-# markedly WORSE (reduce_window lowers to a tuned pooling kernel; the 9
-# strided-slice reads defeat it). Kept off; toggle for A/B benchmarking
-# (benchmarks/infer_ab.py "slicepool" variants).
-SLICE_POOLS = False
+# Pool lowering strategies, selected per call via ``impl`` (threaded from
+# TBNSpec / the tpu.* config keys — no module-global state):
+#   "reduce_window"  lax.reduce_window (default; XLA's tuned pooling kernel,
+#                    fused into producer conv epilogues)
+#   "slices"         shifted strided slices + an elementwise max/add tree.
+#                    Measured on v5e: 63.6 -> 110.9 ms/batch — markedly
+#                    WORSE (the 9 strided-slice reads defeat the tuned
+#                    kernel). Kept for A/B benchmarking
+#                    (benchmarks/infer_ab.py "slicepool" variants).
+#   "pallas"         the ops/pallas_pool.py kernel for the big stride-2 ceil
+#                    max pools. Standalone 1.5-1.8x reduce_window on the
+#                    lane-sparse stem maps, but IN-MODEL 57.3 -> 70.8 ms:
+#                    the pallas_call boundary forces the pre-pool tensor to
+#                    materialize instead of fusing. Kept for A/B.
+POOL_IMPLS = ("reduce_window", "slices", "pallas")
 
 
 def _pool_via_slices(xp: jnp.ndarray, k, s, op) -> jnp.ndarray:
@@ -72,31 +81,24 @@ def _pool_via_slices(xp: jnp.ndarray, k, s, op) -> jnp.ndarray:
     return acc
 
 
-# Pallas kernel for the big stride-2 ceil max pools (see pallas_pool.py).
-# Standalone it beats reduce_window 1.5-1.8x on the lane-sparse stem maps,
-# but IN-MODEL it measured 57.3 -> 70.8 ms/batch: XLA fuses those pools
-# into the producer conv epilogues, and a pallas_call boundary forces the
-# pre-pool tensor to materialize. Kept off; toggle for A/B benchmarking.
-PALLAS_MAX_POOLS = False
-
-
 def max_pool2d(
     x: jnp.ndarray,
     kernel_size: IntPair,
     stride: IntPair,
     padding: IntPair = 0,
     ceil_mode: bool = False,
+    impl: str = "reduce_window",
 ) -> jnp.ndarray:
     """torch.nn.MaxPool2d on NHWC input."""
     k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
-    if PALLAS_MAX_POOLS and jax.default_backend() not in ("cpu",):
+    if impl == "pallas" and jax.default_backend() not in ("cpu",):
         from . import pallas_pool
 
         if pallas_pool.supported(x, k, s, p, ceil_mode):
             return pallas_pool.ceil_max_pool2d_pallas(x)
     (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    if SLICE_POOLS:
+    if impl == "slices":
         xp = jnp.pad(
             x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), constant_values=init
         )
@@ -118,6 +120,7 @@ def avg_pool2d(
     padding: IntPair = 0,
     ceil_mode: bool = False,
     count_include_pad: bool = True,
+    impl: str = "reduce_window",
 ) -> jnp.ndarray:
     """torch.nn.AvgPool2d on NHWC input.
 
@@ -131,7 +134,7 @@ def avg_pool2d(
     # add-monoid recognition and breaks reverse-mode AD under jit.
     # bf16 inputs sum in bf16: the 9-element windows lose ~nothing and the
     # fp32 upcast doubled pool HBM traffic (visible in device traces).
-    if SLICE_POOLS:
+    if impl == "slices":
         xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
         summed = _pool_via_slices(xp, k, s, jnp.add)
     else:

@@ -88,13 +88,19 @@ def export_inference(
         )
 
     if serving_dtype:
+        # Cast only conv/linear kernels. BN scale/bias/mean/var (and conv
+        # biases) stay fp32: the inference BN fold computes
+        # rsqrt(var + eps); in bf16 var≈1 has ~2^-8 resolution, so eps=1e-5
+        # would round away and the fold degrade beyond plain bf16 compute.
         target = jnp.dtype(serving_dtype)
-        variables = jax.tree.map(
-            lambda x: x.astype(target)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            variables,
-        )
+
+        def cast(path, x):
+            is_kernel = path and getattr(path[-1], "key", None) == "kernel"
+            if is_kernel and hasattr(x, "dtype") and x.dtype == jnp.float32:
+                return x.astype(target)
+            return x
+
+        variables = jax.tree_util.tree_map_with_path(cast, variables)
 
     def forward(variables, batch):
         return model.apply(variables, batch, train=False)

@@ -25,15 +25,23 @@ from ..parallel.train_step import TrainState, make_infer_step
 from ..utils.checkpoint import restore_checkpoint
 
 
-def initialize(config_path_or_overrides=None, checkpoint: Optional[str] = None):
+def initialize(
+    config_path_or_overrides=None,
+    checkpoint: Optional[str] = None,
+    config_name: str = "config_vis",
+):
     """(cfg, model, state): load config + checkpoint for visualization
-    (reference vis.py:314-364)."""
+    (reference vis.py:314-364). Defaults to the first-class vis config
+    entry point ``config_vis`` (the reference's config/config_vis.yaml:
+    3 segments, batch 1); pass ``config_name="config"`` for the main one."""
     if isinstance(config_path_or_overrides, (list, tuple)):
-        cfg = load_config(overrides=config_path_or_overrides)
+        cfg = load_config(
+            overrides=config_path_or_overrides, config_name=config_name
+        )
     elif isinstance(config_path_or_overrides, ConfigNode):
         cfg = config_path_or_overrides
     else:
-        cfg = load_config()
+        cfg = load_config(config_name=config_name)
 
     from ..utils.misc import get_modality
 
@@ -56,9 +64,15 @@ def initialize(config_path_or_overrides=None, checkpoint: Optional[str] = None):
                 opt_state=(),
             )
         else:
-            raise ValueError(
-                "Orbax checkpoints need a template; use tools.test.run_tester "
-                "or pass a reference .pth"
+            # template-free Orbax restore, same path as tools.test.load_state
+            from ..utils.checkpoint import restore_for_eval
+
+            params, batch_stats, _ = restore_for_eval(checkpoint)
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=jax.tree.map(jnp.asarray, params),
+                batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+                opt_state=(),
             )
     return cfg, model, modality, state
 

@@ -81,16 +81,14 @@ def make_batch(cfg, batch_size=8):
 def build(variant, cfg):
     import dataclasses
 
-    from attention_based_tbn_tpu.models import bn_inception as bi
-    from attention_based_tbn_tpu.ops import pooling
     from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
 
     # Flag toggles (each variant names the flags it turns ON; the rest off)
-    bi.POOL_PROJ_CONV = "poolconv" in variant
-    bi.DIRECT_STEM = "directstem" in variant
-    pooling.SLICE_POOLS = "slicepool" in variant
-
-    overrides = {}
+    overrides = {
+        "pool_proj_conv": "poolconv" in variant,
+        "direct_stem": "directstem" in variant,
+        "pool_impl": "slices" if "slicepool" in variant else "reduce_window",
+    }
     if "fastcons" in variant:
         overrides["fast_consensus"] = True
     if variant.startswith("baseline"):
