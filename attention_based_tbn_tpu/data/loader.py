@@ -141,6 +141,11 @@ class DataLoader:
             batches.pop()
 
         true_sizes = [len(b) for b in batches]
+        # Global (pre-shard, pre-pad) dataset indices per batch: multi-host
+        # result saving rebuilds the GLOBAL uid order from these — every
+        # host computes the same list, so no cross-process gather is needed
+        # (tools/test.py save path).
+        global_indices = [b.copy() for b in batches]
         if self.shard is not None:
             index, count = self.shard
             # Pad the GLOBAL batch (at the index level) to a multiple of
@@ -184,6 +189,7 @@ class DataLoader:
                         # GLOBAL true size (multi-host shards report the
                         # whole batch's), local rows for padding
                         meta["batch_size"] = true_sizes[batch_no]
+                        meta["global_indices"] = global_indices[batch_no]
                         local_bs = len(samples)
                         padded = (
                             (local_bs + self.pad_to - 1) // self.pad_to

@@ -111,14 +111,18 @@ class InceptionBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, frozen_stats: bool = False
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        frozen_stats: bool = False,
+        row_mask: jnp.ndarray = None,
     ) -> jnp.ndarray:
         if not train:
             return self._fused_eval(x)
 
         s = self.spec
         kw = dict(dtype=self.dtype)
-        bn_kw = dict(train=train, frozen_stats=frozen_stats)
+        bn_kw = dict(train=train, frozen_stats=frozen_stats, row_mask=row_mask)
         branches = []
 
         proj_out = None
@@ -128,7 +132,7 @@ class InceptionBlock(nn.Module):
             # per-channel, so one merged BN computes the identical batch
             # statistics and running-stat updates as the per-branch BNs —
             # one conv + one reduction pass instead of three of each.
-            b1, r3, rd, proj_out = self._merged_train_heads(x, frozen_stats)
+            b1, r3, rd, proj_out = self._merged_train_heads(x, frozen_stats, row_mask)
         else:
             b1 = (
                 ConvBN(s.b1x1, 1, name="1x1", **kw)(x, **bn_kw)
@@ -176,7 +180,8 @@ class InceptionBlock(nn.Module):
         return jnp.concatenate(branches, axis=-1)
 
     def _train_bn(
-        self, yf, scale, bias, stat_cells, frozen_stats: bool, mean_offset=None
+        self, yf, scale, bias, stat_cells, frozen_stats: bool, mean_offset=None,
+        row_mask=None,
     ):
         """torch-exact BatchNorm on fp32 input over one or several cells'
         concatenated channels (BN is per-channel, so the merged statistics
@@ -191,12 +196,24 @@ class InceptionBlock(nn.Module):
             r_var = jnp.concatenate([v.value for _, v, _ in stat_cells])
             inv = jax.lax.rsqrt(r_var + eps) * scale
             return yf * inv + (bias - r_mean * inv)
-        mean = jnp.mean(yf, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
-        n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+        if row_mask is None:
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
+            n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+        else:
+            # pad rows carry zero weight (see layers.TorchBatchNorm.row_mask)
+            w = row_mask.astype(jnp.float32).reshape(-1, 1, 1, 1)
+            n = jnp.maximum(jnp.sum(row_mask.astype(jnp.float32)), 1.0) * (
+                yf.shape[1] * yf.shape[2]
+            )
+            mean = jnp.sum(yf * w, axis=(0, 1, 2)) / n
+            var = jnp.sum(jnp.square(yf - mean) * w, axis=(0, 1, 2)) / n
         if not self.is_initializing():
             momentum = BN_MOMENTUM
-            unbiased = var * (n / max(n - 1, 1))
+            if row_mask is None:
+                unbiased = var * (n / max(n - 1, 1))
+            else:
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
             # conv biases cancel through live BN; they are recorded in the
             # running mean only (TorchBatchNorm.mean_offset semantics)
             recorded = mean if mean_offset is None else mean + mean_offset
@@ -211,7 +228,9 @@ class InceptionBlock(nn.Module):
                 off += size
         return (yf - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
 
-    def _merged_train_heads(self, x: jnp.ndarray, frozen_stats: bool):
+    def _merged_train_heads(
+        self, x: jnp.ndarray, frozen_stats: bool, row_mask: jnp.ndarray = None
+    ):
         """Train-time merged application of the input-reading 1x1 cells
         (1x1 branch + both reduces + the avg-pool branch's proj): one conv,
         one merged BatchNorm for the relu'd cells, and the pool branch
@@ -269,6 +288,7 @@ class InceptionBlock(nn.Module):
                 ],
                 frozen_stats,
                 mean_offset=None if frozen_stats else main_bias,
+                row_mask=row_mask,
             ).astype(dtype)
         )
 
@@ -296,6 +316,7 @@ class InceptionBlock(nn.Module):
                     [(pbn[2], pbn[3], s.proj)],
                     frozen_stats,
                     mean_offset=None if frozen_stats else pb,
+                    row_mask=row_mask,
                 ).astype(dtype)
             )
         return b1, r3, rd, proj_out
@@ -436,14 +457,19 @@ class BNInception(nn.Module):
         self,
         x: jnp.ndarray,
         train: bool = False,
+        row_mask: jnp.ndarray = None,
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
     ) -> jnp.ndarray:
         """(input_scale, input_offset): per-channel affine normalization of
         a raw uint8 input, applied inside the stem conv after its pure
-        reshapes (layers.TorchConv) to avoid layout copies."""
+        reshapes (layers.TorchConv) to avoid layout copies.
+
+        ``row_mask``: 0/1 per batch row; zero-weight rows (the loader's pad
+        rows) are excluded from every live BatchNorm statistic
+        (layers.TorchBatchNorm.row_mask)."""
         kw = dict(dtype=self.dtype)
-        bn_kw = dict(train=train)
+        bn_kw = dict(train=train, row_mask=row_mask)
 
         if self.audio_stem:
             if input_scale is not None:

@@ -227,6 +227,7 @@ class TorchBatchNorm(nn.Module):
         use_running_average: bool = True,
         frozen_stats: bool = False,
         mean_offset: jnp.ndarray = None,
+        row_mask: jnp.ndarray = None,
     ) -> jnp.ndarray:
         """``mean_offset``: per-channel constant the caller ADDED-BY-PROXY
         to x — BN(x + c) == BN(x) under live statistics (the mean shift
@@ -234,7 +235,13 @@ class TorchBatchNorm(nn.Module):
         preceding conv's bias here lets the caller skip the full-activation
         bias add (a per-channel scalar op replaces it); the conv bias then
         gets an exactly-zero gradient, matching its mathematically-zero
-        gradient through live BN. Only valid with live statistics."""
+        gradient through live BN. Only valid with live statistics.
+
+        ``row_mask``: 0/1 weight per leading-axis row. Live batch statistics
+        are computed over the unmasked rows only, so the loader's pad rows
+        (batch padded to the mesh size, data/loader.py) influence neither
+        the normalization of real rows nor the running-stat updates — the
+        reference never pads (its DataLoader yields ragged last batches)."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
@@ -260,12 +267,24 @@ class TorchBatchNorm(nn.Module):
 
         xf = x.astype(jnp.float32)
         reduce_axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(xf, axis=reduce_axes)
-        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-        n = 1
-        for axis in reduce_axes:
-            n *= x.shape[axis]
-        unbiased = var * (n / max(n - 1, 1))
+        if row_mask is None:
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            n = 1
+            for axis in reduce_axes:
+                n *= x.shape[axis]
+            unbiased = var * (n / max(n - 1, 1))
+        else:
+            w = row_mask.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1)
+            )
+            per_row = 1
+            for axis in reduce_axes[1:]:
+                per_row *= x.shape[axis]
+            count = jnp.maximum(jnp.sum(row_mask.astype(jnp.float32)), 1.0) * per_row
+            mean = jnp.sum(xf * w, axis=reduce_axes) / count
+            var = jnp.sum(jnp.square(xf - mean) * w, axis=reduce_axes) / count
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
         if not self.is_initializing():
             recorded = mean if mean_offset is None else mean + mean_offset
             ra_mean.value = (
@@ -388,6 +407,7 @@ class ConvBN(nn.Module):
         frozen_stats: bool = False,
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
+        row_mask: jnp.ndarray = None,
     ) -> jnp.ndarray:
         conv = TorchConv(
             self.features,
@@ -421,6 +441,7 @@ class ConvBN(nn.Module):
                 use_running_average=False,
                 frozen_stats=False,
                 mean_offset=conv_bias,
+                row_mask=row_mask,
             )
         if self.relu:
             y = nn.relu(y)

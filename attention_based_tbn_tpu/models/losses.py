@@ -24,42 +24,91 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """torch.nn.CrossEntropyLoss (mean reduction)."""
+def _row_mean(values: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over the leading (row) axis; with ``mask`` (0/1 per row), a
+    weighted mean over the unmasked rows only — how every mean-reduced loss
+    excludes the loader's pad rows (the reference never pads,
+    core/tools/train.py:76-94, so its plain means are the mask==all-ones
+    case)."""
+    if mask is None:
+        return jnp.mean(values)
+    mask = mask.astype(jnp.float32)
+    shaped = mask.reshape(mask.shape + (1,) * (values.ndim - 1))
+    denom = jnp.maximum(jnp.sum(mask), 1.0) * float(
+        np_prod(values.shape[1:])
+    )
+    return jnp.sum(values * shaped) / denom
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
+def cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """torch.nn.CrossEntropyLoss (mean reduction; pad rows masked out)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     picked = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return -jnp.mean(picked)
+    return -_row_mean(picked, mask)
 
 
-def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def nll_loss(
+    log_probs: jnp.ndarray, labels: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """torch.nn.NLLLoss (mean reduction) — expects log-probabilities."""
     picked = jnp.take_along_axis(
         log_probs.astype(jnp.float32), labels[:, None], axis=-1
     )[:, 0]
-    return -jnp.mean(picked)
+    return -_row_mean(picked, mask)
 
 
-def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+def mse_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    sq = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return _row_mean(sq, mask)
 
 
-def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+def smooth_l1_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    beta: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
-    return jnp.mean(jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta))
+    val = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return _row_mean(val, mask)
 
 
 def kl_div(
-    log_pred: jnp.ndarray, target: jnp.ndarray, reduction: str = "batchmean"
+    log_pred: jnp.ndarray,
+    target: jnp.ndarray,
+    reduction: str = "batchmean",
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch.nn.KLDivLoss: input is log-probs, target is probs."""
     target = target.astype(jnp.float32)
     log_pred = log_pred.astype(jnp.float32)
     pointwise = target * (jnp.log(jnp.clip(target, 1e-30)) - log_pred)
     pointwise = jnp.where(target > 0, pointwise, 0.0)
+    if mask is not None:
+        shaped = mask.astype(jnp.float32).reshape(
+            mask.shape + (1,) * (pointwise.ndim - 1)
+        )
+        pointwise = pointwise * shaped
+        rows = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    else:
+        rows = log_pred.shape[0]
     if reduction == "batchmean":
-        return jnp.sum(pointwise) / log_pred.shape[0]
+        return jnp.sum(pointwise) / rows
     if reduction == "sum":
         return jnp.sum(pointwise)
+    if mask is not None:
+        return jnp.sum(pointwise) / (rows * np_prod(log_pred.shape[1:]))
     return jnp.mean(pointwise)
 
 
@@ -73,7 +122,10 @@ CLASSIFICATION_LOSSES = {
 
 
 def contrast_loss(
-    weights: jnp.ndarray, threshold: float = 0.1, reduction: str = "batchmean"
+    weights: jnp.ndarray,
+    threshold: float = 0.1,
+    reduction: str = "batchmean",
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """sum(off-peak) - sum(peak) per row under a detached binary mask
     (reference contrast_loss.py:15-25)."""
@@ -81,18 +133,22 @@ def contrast_loss(
     mask = jax.lax.stop_gradient((w >= threshold).astype(jnp.float32))
     loss = (w * (1.0 - mask) - w * mask).sum(axis=1)
     if reduction in ("mean", "batchmean"):
-        return loss.mean()
+        return _row_mean(loss, row_mask)
+    if row_mask is not None:
+        return jnp.sum(loss * row_mask.astype(jnp.float32))
     return loss.sum()
 
 
-def attention_entropy(weights: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+def attention_entropy(
+    weights: jnp.ndarray, eps: float = 1e-6, row_mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """Mean entropy of the (renormalized) attention rows — matches
     torch.distributions.Categorical(probs=wts + eps).entropy().mean()
     (model.py:324), which normalizes probs by their sum."""
     p = weights.astype(jnp.float32) + eps
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     ent = -jnp.sum(p * jnp.log(p), axis=-1)
-    return ent.mean()
+    return _row_mean(ent, row_mask)
 
 
 def prior_loss(
@@ -100,6 +156,7 @@ def prior_loss(
     prior: jnp.ndarray,
     wt_loss: str = "kl",
     reduction: str = "batchmean",
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Prior supervision of the attention weights (model.py:312-319).
 
@@ -107,11 +164,14 @@ def prior_loss(
     prior as the target.
     """
     if wt_loss == "kl":
-        return kl_div(jnp.log(weights.astype(jnp.float32) + 1e-7), prior, reduction)
+        return kl_div(
+            jnp.log(weights.astype(jnp.float32) + 1e-7), prior, reduction,
+            mask=row_mask,
+        )
     if wt_loss == "mse":
-        return mse_loss(weights, prior)
+        return mse_loss(weights, prior, mask=row_mask)
     if wt_loss == "smoothl1":
-        return smooth_l1_loss(weights, prior)
+        return smooth_l1_loss(weights, prior, mask=row_mask)
     raise ValueError(f"Unsupported wt_loss {wt_loss!r}")
 
 
@@ -122,9 +182,16 @@ def tbn_loss(
     epoch: jnp.ndarray | int = 0,
     train: bool = True,
     attention_weights: Optional[jnp.ndarray] = None,
+    true_batch: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Total TBN loss dict (keys mirror the reference: per-head, all_class,
-    prior/contrast/entropy, total)."""
+    prior/contrast/entropy, total).
+
+    ``true_batch``: traced scalar — the true (unpadded) batch size. The
+    loader pads every batch to a multiple of the mesh size by repeating
+    sample 0 (data/loader.py pad_batch); rows >= true_batch are excluded
+    from every mean so the padded duplicates neither bias the gradient nor
+    corrupt the reported losses. None = no padding (all rows real)."""
     att_cfg = cfg.model.attention
     loss_fn = cross_entropy if cfg.model.loss_fn == "crossentropy" else (
         CLASSIFICATION_LOSSES.get(cfg.model.loss_fn) or cross_entropy
@@ -132,8 +199,14 @@ def tbn_loss(
 
     loss: Dict[str, jnp.ndarray] = {}
     all_class = 0.0
+    sample_mask = None
     for key, labels in targets["class"].items():
-        loss[key] = loss_fn(preds[key], labels)
+        if true_batch is not None and sample_mask is None:
+            rows = preds[key].shape[0]
+            sample_mask = (
+                jnp.arange(rows) < jnp.asarray(true_batch)
+            ).astype(jnp.float32)
+        loss[key] = loss_fn(preds[key], labels, mask=sample_mask)
         all_class = all_class + loss[key]
     loss["all_class"] = all_class
     total = all_class
@@ -149,19 +222,28 @@ def tbn_loss(
         if wts.ndim == 3:  # (B*, 1, S) from MHA
             wts = wts[:, 0, :]
 
+        # attention rows are (batch, segments) folded batch-major: repeat
+        # the per-sample mask over each sample's segment rows
+        wt_mask = None
+        if sample_mask is not None:
+            per_sample = wts.shape[0] // sample_mask.shape[0]
+            wt_mask = jnp.repeat(sample_mask, per_sample)
+
         if att_cfg.use_prior:
             prior = targets["weights"].reshape(wts.shape[0], -1)
             loss["prior"] = prior_loss(
-                wts, prior, att_cfg.wt_loss, att_cfg.loss_reduction
+                wts, prior, att_cfg.wt_loss, att_cfg.loss_reduction,
+                row_mask=wt_mask,
             )
             total = total + gate * att_cfg.wt_decay * loss["prior"]
         if att_cfg.use_contrast:
             loss["contrast"] = contrast_loss(
-                wts, att_cfg.contrast_thresh, att_cfg.loss_reduction
+                wts, att_cfg.contrast_thresh, att_cfg.loss_reduction,
+                row_mask=wt_mask,
             )
             total = total + gate * att_cfg.contrast_decay * loss["contrast"]
         if att_cfg.use_entropy:
-            loss["entropy"] = attention_entropy(wts)
+            loss["entropy"] = attention_entropy(wts, row_mask=wt_mask)
             # early stop: once entropy sinks below the threshold, drop the term
             ent_gate = jnp.where(
                 jnp.logical_and(

@@ -35,18 +35,19 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, row_mask=None):
         kw = dict(dtype=self.dtype)
+        bn = dict(use_running_average=not train, row_mask=row_mask)
         y = TorchConv(self.features, 3, self.stride, 1, use_bias=False, name="conv1", **kw)(x)
-        y = TorchBatchNorm(name="bn1", **kw)(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn1", **kw)(y, **bn)
         y = nn.relu(y)
         y = TorchConv(self.features, 3, 1, 1, use_bias=False, name="conv2", **kw)(y)
-        y = TorchBatchNorm(name="bn2", **kw)(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn2", **kw)(y, **bn)
         if self.downsample:
             x = TorchConv(
                 self.features, 1, self.stride, 0, use_bias=False, name="downsample_conv", **kw
             )(x)
-            x = TorchBatchNorm(name="downsample_bn", **kw)(x, use_running_average=not train)
+            x = TorchBatchNorm(name="downsample_bn", **kw)(x, **bn)
         return nn.relu(y + x)
 
 
@@ -58,20 +59,21 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, row_mask=None):
         kw = dict(dtype=self.dtype)
+        bn = dict(use_running_average=not train, row_mask=row_mask)
         out = self.features * self.expansion
         y = TorchConv(self.features, 1, 1, 0, use_bias=False, name="conv1", **kw)(x)
-        y = TorchBatchNorm(name="bn1", **kw)(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn1", **kw)(y, **bn)
         y = nn.relu(y)
         y = TorchConv(self.features, 3, self.stride, 1, use_bias=False, name="conv2", **kw)(y)
-        y = TorchBatchNorm(name="bn2", **kw)(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn2", **kw)(y, **bn)
         y = nn.relu(y)
         y = TorchConv(out, 1, 1, 0, use_bias=False, name="conv3", **kw)(y)
-        y = TorchBatchNorm(name="bn3", **kw)(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn3", **kw)(y, **bn)
         if self.downsample:
             x = TorchConv(out, 1, self.stride, 0, use_bias=False, name="downsample_conv", **kw)(x)
-            x = TorchBatchNorm(name="downsample_bn", **kw)(x, use_running_average=not train)
+            x = TorchBatchNorm(name="downsample_bn", **kw)(x, **bn)
         return nn.relu(y + x)
 
 
@@ -87,14 +89,15 @@ class ResNet(nn.Module):
         return 512 * expansion
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, row_mask=None):
         block_type, layer_sizes, expansion = RESNET_CONFIGS[self.depth]
         kw = dict(dtype=self.dtype)
+        bn = dict(use_running_average=not train, row_mask=row_mask)
 
         y = TorchConv(
             64, 7, 2, 3, use_bias=False, space_to_depth=True, name="conv1", **kw
         )(x)
-        y = TorchBatchNorm(name="bn1", **kw)(y, use_running_average=not train)
+        y = TorchBatchNorm(name="bn1", **kw)(y, **bn)
         y = nn.relu(y)
         y = max_pool2d(y, 3, 2, 1)
 
@@ -107,10 +110,12 @@ class ResNet(nn.Module):
                 needs_down = block_idx == 0 and (stride != 1 or in_ch != out_ch)
                 name = f"layer{stage}_{block_idx}"
                 if block_type == "basic":
-                    y = BasicBlock(width, stride, needs_down, name=name, **kw)(y, train)
+                    y = BasicBlock(width, stride, needs_down, name=name, **kw)(
+                        y, train, row_mask
+                    )
                 else:
                     y = Bottleneck(width, stride, needs_down, expansion, name=name, **kw)(
-                        y, train
+                        y, train, row_mask
                     )
 
         return global_avg_pool(y)

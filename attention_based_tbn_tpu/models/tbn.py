@@ -24,7 +24,7 @@ Layouts: RGB (B, N, H, W, 3); Flow (B, N, H, W, 2*win); Audio waveform
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -264,8 +264,18 @@ class TBNModel(nn.Module):
 
     @nn.compact
     def __call__(
-        self, batch: Mapping[str, jnp.ndarray], train: bool = False
+        self,
+        batch: Mapping[str, jnp.ndarray],
+        train: bool = False,
+        true_batch: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """``true_batch``: traced scalar, the true (unpadded) batch size.
+        When the loader padded the batch to the mesh size (data/loader.py),
+        pad rows are excluded from live BatchNorm statistics so they cannot
+        perturb the real rows' normalization or the running stats — BN is
+        the only cross-row coupling in the network (GroupNorm, softmax and
+        dropout are per-sample). The loss applies the same mask
+        (models/losses.tbn_loss)."""
         spec = self.spec
         spec.validate()
         dtype = self.dtype
@@ -300,13 +310,22 @@ class TBNModel(nn.Module):
             elif m in ("RGB", "Flow") and x.dtype == jnp.uint8:
                 x = self._normalize(m, x)
 
+            # 0/1 weight per folded (sample, segment) row — rows are
+            # batch-major, so row r belongs to sample r // n
+            row_mask = None
+            if true_batch is not None and train:
+                row_mask = jnp.repeat(
+                    (jnp.arange(b) < jnp.asarray(true_batch)).astype(jnp.float32),
+                    x.shape[0] // b,
+                )
+
             tower = self._make_tower(m)
             # positional train flag: nn.remat static_argnums counts
             # positional args ((module, x, train) -> index 2)
             if norm_kw:
-                feature = tower(x, train, **norm_kw)
+                feature = tower(x, train, row_mask=row_mask, **norm_kw)
             else:
-                feature = tower(x.astype(dtype), train)
+                feature = tower(x.astype(dtype), train, row_mask=row_mask)
 
             if m == "Audio":
                 feature = self._audio_feature(batch, features, feature, b, n, train)

@@ -39,7 +39,7 @@ class VGG(nn.Module):
     feature_size: int = FEATURE_SIZE
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, row_mask=None):
         base = self.vgg_type.rstrip("bn").rstrip("_") or self.vgg_type
         use_bn = self.batch_norm or self.vgg_type.endswith("bn")
         cfg = VGG_CONFIGS[base]
@@ -54,7 +54,7 @@ class VGG(nn.Module):
                 y = TorchConv(int(item), 3, 1, 1, name=f"conv{conv_idx}", **kw)(y)
                 if use_bn:
                     y = TorchBatchNorm(name=f"bn{conv_idx}", **kw)(
-                        y, use_running_average=not train
+                        y, use_running_average=not train, row_mask=row_mask
                     )
                 y = nn.relu(y)
                 conv_idx += 1

@@ -54,6 +54,22 @@ def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
         requested = cfg.get_path("tpu.mesh.data", -1) if cfg is not None else -1
         if requested and requested > 0:
             devices = devices[:requested]
+    if jax.process_count() > 1:
+        # The multi-host loader slices host k's rows as
+        # [k*local, (k+1)*local) of the global batch (data/loader.py) and
+        # make_array_from_process_local_data maps local rows onto the
+        # shards this process owns — both require the mesh device order to
+        # be process-contiguous in process_index order. JAX does not
+        # guarantee that on every topology, so fail loudly instead of
+        # silently permuting rows across hosts.
+        procs = [d.process_index for d in np.asarray(devices).flat]
+        if procs != sorted(procs):
+            raise RuntimeError(
+                "mesh device order is not process-contiguous "
+                f"(process ids {procs}); the multi-host batch sharding "
+                "would permute rows across hosts. Reorder devices by "
+                "process_index when constructing the mesh."
+            )
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 

@@ -55,13 +55,14 @@ def create_train_state(
     )
 
 
-def _forward(model, params, batch_stats, batch, train, rngs):
+def _forward(model, params, batch_stats, batch, train, rngs, true_batch=None):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     if train:
         out, mutated = model.apply(
-            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"]
+            variables, batch, train=True, true_batch=true_batch, rngs=rngs,
+            mutable=["batch_stats"],
         )
         return out, mutated.get("batch_stats", batch_stats)
     out = model.apply(variables, batch, train=False)
@@ -74,10 +75,13 @@ def make_train_step(
     cfg,
     mesh: Optional[Mesh] = None,
 ) -> Callable:
-    """Returns jitted fn(state, batch, targets, rng, epoch) ->
-    (state, loss_dict, preds)."""
+    """Returns jitted fn(state, batch, targets, rng, epoch, true_bs) ->
+    (state, loss_dict, preds). ``true_bs``: traced scalar, the true
+    (unpadded) batch size — pad rows (loader pads to the mesh size) are
+    masked out of every loss mean and every live BatchNorm statistic, so
+    padding changes nothing but shapes."""
 
-    def step_fn(state: TrainState, batch, targets, rng, epoch):
+    def step_fn(state: TrainState, batch, targets, rng, epoch, true_bs):
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {
             "dropout": step_rng,
@@ -87,7 +91,8 @@ def make_train_step(
 
         def loss_fn(params):
             preds, new_stats = _forward(
-                model, params, state.batch_stats, batch, True, rngs
+                model, params, state.batch_stats, batch, True, rngs,
+                true_batch=true_bs,
             )
             loss = tbn_loss(
                 preds,
@@ -96,6 +101,7 @@ def make_train_step(
                 epoch=epoch,
                 train=True,
                 attention_weights=preds.get("weights"),
+                true_batch=true_bs,
             )
             return loss["total"], (loss, preds, new_stats)
 
@@ -119,16 +125,18 @@ def make_train_step(
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, data, repl, repl),
+        in_shardings=(repl, data, data, repl, repl, repl),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0,),
     )
 
 
 def make_eval_step(model: TBNModel, cfg, mesh: Optional[Mesh] = None) -> Callable:
-    """Returns jitted fn(state, batch, targets, epoch) -> (loss_dict, preds)."""
+    """Returns jitted fn(state, batch, targets, epoch, true_bs) ->
+    (loss_dict, preds). Pad rows are masked out of the loss; eval BatchNorm
+    uses running statistics, so no activation masking is needed."""
 
-    def step_fn(state: TrainState, batch, targets, epoch):
+    def step_fn(state: TrainState, batch, targets, epoch, true_bs):
         preds, _ = _forward(model, state.params, state.batch_stats, batch, False, {})
         loss = tbn_loss(
             preds,
@@ -137,6 +145,7 @@ def make_eval_step(model: TBNModel, cfg, mesh: Optional[Mesh] = None) -> Callabl
             epoch=epoch,
             train=False,
             attention_weights=preds.get("weights"),
+            true_batch=true_bs,
         )
         return loss, preds
 
@@ -147,7 +156,7 @@ def make_eval_step(model: TBNModel, cfg, mesh: Optional[Mesh] = None) -> Callabl
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, data, repl),
+        in_shardings=(repl, data, data, repl, repl),
         out_shardings=(repl, repl),
     )
 

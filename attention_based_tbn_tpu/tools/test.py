@@ -129,13 +129,25 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
             true_bs = meta["batch_size"]
             if targets["class"] is not None:
                 labeled = True
-                loss, preds = eval_step(state, batch, targets, jnp.asarray(0))
+                loss, preds = eval_step(
+                    state, batch, targets, jnp.asarray(0),
+                    jnp.asarray(true_bs, jnp.int32),
+                )
                 metric.update(preds, targets, loss, batch_size=true_bs)
             else:
                 preds = infer_step(state, batch)
 
             if cfg.test.save_results:
-                output["action_id"].append(np.asarray(meta["uid"]))
+                # GLOBAL uid order, derived from the loader's pre-shard
+                # index list: identical on every host (multi-host shards
+                # hold only local uid slices in meta["uid"], but preds are
+                # the replicated global batch — reference misc.py:115-165
+                # never faced this because it never sharded).
+                uids = [
+                    dataset.record(int(i)).action_id
+                    for i in meta["global_indices"][:true_bs]
+                ]
+                output["action_id"].append(np.asarray(uids))
                 for key in cfg.model.num_classes.keys():
                     output[key].append(np.asarray(preds[key])[:true_bs])
 
@@ -148,7 +160,10 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
         else:
             all_results.append(None)
 
-        if cfg.test.save_results:
+        if cfg.test.save_results and jax.process_index() == 0:
+            # primary-host gate: every process holds the same global
+            # results; only one writes the file (matches the checkpoint
+            # writer's _is_primary_host gating, utils/checkpoint.py)
             out_dir = cfg.out_dir or "."
             out_file = os.path.join(out_dir, "inferences", cfg.test.results_file[idx])
             action_names = None

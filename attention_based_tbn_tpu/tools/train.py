@@ -95,7 +95,10 @@ def train_one_epoch(
     loader.set_epoch(epoch)
     for iter_no, (batch, targets, meta) in enumerate(loader):
         step_start = time.perf_counter()
-        state, loss, preds = step_fn(state, batch, targets, rng, jnp.asarray(epoch))
+        state, loss, preds = step_fn(
+            state, batch, targets, rng, jnp.asarray(epoch),
+            jnp.asarray(meta["batch_size"], jnp.int32),
+        )
         metric.update(preds, targets, loss, batch_size=meta["batch_size"])
         loss_tracker = loss_tracker + loss["total"]
         step_times.append(time.perf_counter() - step_start)
@@ -127,7 +130,10 @@ def validate(cfg, state, eval_fn, loader, epoch, logger):
     metric = Metric(cfg, no_batches)
 
     for batch, targets, meta in loader:
-        loss, preds = eval_fn(state, batch, targets, jnp.asarray(epoch))
+        loss, preds = eval_fn(
+            state, batch, targets, jnp.asarray(epoch),
+            jnp.asarray(meta["batch_size"], jnp.int32),
+        )
         metric.update(preds, targets, loss, batch_size=meta["batch_size"])
 
     return metric.compute()

@@ -86,14 +86,20 @@ def main():
 
     step = make_train_step(model, tx, cfg, mesh=None)
 
-    new_state, loss, _ = step(state, batch, targets, jax.random.key(1), jnp.asarray(0))
+    new_state, loss, _ = step(
+        state, batch, targets, jax.random.key(1), jnp.asarray(0),
+        jnp.asarray(batch_size, jnp.int32),
+    )
     first = float(loss["total"])  # force compile + settle
 
     iters = 30
     state = new_state
     start = time.perf_counter()
     for _ in range(iters):
-        state, loss, _ = step(state, batch, targets, jax.random.key(1), jnp.asarray(0))
+        state, loss, _ = step(
+            state, batch, targets, jax.random.key(1), jnp.asarray(0),
+            jnp.asarray(batch_size, jnp.int32),
+        )
     total = float(loss["total"])  # ONE readback ends the chain
     elapsed = time.perf_counter() - start
 

@@ -218,3 +218,86 @@ class TestDataLoader:
         loader = DataLoader(ds, batch_size=4, drop_last=True, num_workers=1)
         assert len(loader) == 1
         assert len(list(loader)) == 1
+
+
+class TestMultihostResultSaving:
+    def test_global_indices_reconstruct_uid_order(self, fixture_root):
+        # tools/test.py multi-host save path: every host derives the SAME
+        # global uid order from meta["global_indices"] even though its
+        # meta["uid"] holds only the local shard's slice
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+
+        def make(shard, pad_to=1):
+            ds = VideoDataset(
+                cfg, videos, "annotations/epic_train_val.csv",
+                ["RGB"], mode="train",
+            )
+            return ds, DataLoader(
+                ds, batch_size=4, shuffle=False, num_workers=1, seed=0,
+                shard=shard, pad_to=pad_to,
+            )
+
+        _, gloader = make(None)
+        global_metas = [meta for _, _, meta in gloader]
+        host_metas = []
+        dss = []
+        for host in range(2):
+            ds, loader = make((host, 2), pad_to=8)
+            dss.append(ds)
+            host_metas.append([meta for _, _, meta in loader])
+
+        for b_no, gmeta in enumerate(global_metas):
+            true = gmeta["batch_size"]
+            for host in range(2):
+                meta = host_metas[host][b_no]
+                # identical on every host, matching the unsharded order
+                np.testing.assert_array_equal(
+                    meta["global_indices"][:true], gmeta["global_indices"][:true]
+                )
+                uids = [
+                    dss[host].record(int(i)).action_id
+                    for i in meta["global_indices"][:true]
+                ]
+                assert uids == gmeta["uid"][:true]
+                # local uid slice is NOT the global order in general
+                assert len(meta["uid"]) == 4
+
+    def test_challenge_json_rows_align(self, fixture_root, tmp_path):
+        # simulate the full save path with a replicated "global" pred batch
+        from attention_based_tbn_tpu.utils.misc import save_scores
+        import json
+
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv", ["RGB"], mode="train"
+        )
+        loader = DataLoader(
+            ds, batch_size=4, shuffle=False, num_workers=1, seed=0,
+            shard=(1, 2), pad_to=8,  # host 1 of 2: local uid slice is wrong
+        )
+        output = {"action_id": [], "verb": []}
+        row = 0
+        expected = {}
+        for batch, targets, meta in loader:
+            true = meta["batch_size"]
+            # "replicated global preds": row r scores r everywhere
+            preds = np.arange(row, row + 8, dtype=np.float32)[:, None] * np.ones(
+                (1, 5), np.float32
+            )
+            uids = [
+                ds.record(int(i)).action_id for i in meta["global_indices"][:true]
+            ]
+            output["action_id"].append(np.asarray(uids))
+            output["verb"].append(preds[:true])
+            for k, uid in enumerate(uids):
+                expected[str(int(uid))] = float(row + k)
+            row += 8
+
+        out_file = str(tmp_path / "results.json")
+        save_scores(output, out_file)
+        saved = json.load(open(out_file))["results"]
+        assert set(saved.keys()) == set(expected.keys())
+        for uid, scores in saved.items():
+            assert scores["verb"]["0"] == expected[uid]

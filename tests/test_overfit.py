@@ -75,7 +75,8 @@ def test_overfits_tiny_dataset():
     first_loss = None
     for i in range(60):
         state, loss, _ = step(
-            state, batch, targets, jax.random.key(42), jnp.asarray(0)
+            state, batch, targets, jax.random.key(42), jnp.asarray(0),
+            jnp.asarray(b, jnp.int32),
         )
         if first_loss is None:
             first_loss = float(loss["total"])
@@ -83,6 +84,8 @@ def test_overfits_tiny_dataset():
 
     assert final_loss < first_loss * 0.5, (first_loss, final_loss)
 
-    _, preds = eval_step(state, batch, targets, jnp.asarray(0))
+    _, preds = eval_step(
+        state, batch, targets, jnp.asarray(0), jnp.asarray(b, jnp.int32)
+    )
     verb_acc = (np.asarray(preds["verb"]).argmax(-1) == labels_v).mean()
     assert verb_acc >= 0.75, verb_acc

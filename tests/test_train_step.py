@@ -147,7 +147,10 @@ class TestTrainStep:
         rng = jax.random.key(42)
         losses = []
         for _ in range(5):
-            state, loss, _ = step(state, batch_s, targets_s, rng, jnp.asarray(0))
+            state, loss, _ = step(
+                state, batch_s, targets_s, rng, jnp.asarray(0),
+                jnp.asarray(B, jnp.int32),
+            )
             losses.append(float(loss["total"]))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
@@ -167,6 +170,7 @@ class TestTrainStep:
             shard_batch(targets, mesh),
             jax.random.key(0),
             jnp.asarray(0),
+            jnp.asarray(B, jnp.int32),
         )
         after = np.asarray(
             new_state.params["Base_RGB"]["inception_3a"]["1x1"]["bn"]["scale"]
@@ -190,6 +194,7 @@ class TestTrainStep:
             shard_batch(targets, mesh),
             jax.random.key(0),
             jnp.asarray(0),
+            jnp.asarray(B, jnp.int32),
         )
         after = np.asarray(
             new_state.batch_stats["Base_RGB"]["conv1_7x7_s2"]["bn"]["mean"]
@@ -200,7 +205,8 @@ class TestTrainStep:
         cfg, model, mesh, tx, state, batch, targets = setup
         eval_step = make_eval_step(model, cfg, mesh)
         loss, preds = eval_step(
-            state, shard_batch(batch, mesh), shard_batch(targets, mesh), jnp.asarray(0)
+            state, shard_batch(batch, mesh), shard_batch(targets, mesh),
+            jnp.asarray(0), jnp.asarray(B, jnp.int32),
         )
         assert np.isfinite(float(loss["total"]))
         infer = make_infer_step(model, mesh)
@@ -227,9 +233,15 @@ class TestGradAccumulation:
         step = make_train_step(model, tx, cfg)
 
         p0 = np.asarray(state.params["classifier"]["verb"]["kernel"])
-        state, _, _ = step(state, batch, targets, jax.random.key(0), jnp.asarray(0))
+        state, _, _ = step(
+            state, batch, targets, jax.random.key(0), jnp.asarray(0),
+            jnp.asarray(8, jnp.int32),
+        )
         p1 = np.asarray(state.params["classifier"]["verb"]["kernel"])
         np.testing.assert_array_equal(p0, p1)  # first micro-step: no update
-        state, _, _ = step(state, batch, targets, jax.random.key(0), jnp.asarray(0))
+        state, _, _ = step(
+            state, batch, targets, jax.random.key(0), jnp.asarray(0),
+            jnp.asarray(8, jnp.int32),
+        )
         p2 = np.asarray(state.params["classifier"]["verb"]["kernel"])
         assert not np.allclose(p1, p2)  # second micro-step applies
