@@ -79,6 +79,7 @@ class DataLoader:
         device_put=None,
         pad_to: int = 1,
         shard: Optional[Tuple[int, int]] = None,
+        pack_visual: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -93,6 +94,11 @@ class DataLoader:
         # of sitting on the training loop's critical path. The true batch
         # size travels in meta["batch_size"].
         self.pad_to = max(int(pad_to), 1)
+        # Column-pair RGB/Flow streams on the host, (B, N, H, W, C) ->
+        # (B, N, H, W/2, 2C) — a free numpy reshape here vs ~3 ms/batch of
+        # device relayout copies when the packed stem (layers.TorchConv)
+        # reshapes on device. Only valid for the BN-Inception packed stem.
+        self.pack_visual = bool(pack_visual)
         # Multi-host data parallelism: (process_index, process_count). The
         # GLOBAL batch order is identical on every host (same seed/epoch);
         # each host decodes only its contiguous 1/count slice of every
@@ -196,6 +202,18 @@ class DataLoader:
                         ) * self.pad_to
                         if padded != local_bs:
                             batch, targets = pad_batch(batch, targets, padded)
+                        if self.pack_visual:
+                            for key in ("RGB", "Flow"):
+                                arr = batch.get(key)
+                                if (
+                                    arr is not None
+                                    and arr.ndim == 5
+                                    and arr.shape[3] % 2 == 0
+                                ):
+                                    b_, n_, h_, w_, c_ = arr.shape
+                                    batch[key] = np.ascontiguousarray(
+                                        arr
+                                    ).reshape(b_, n_, h_, w_ // 2, 2 * c_)
                         if self.device_put is not None:
                             batch = self.device_put(batch)
                             targets = self.device_put(targets)
@@ -222,6 +240,16 @@ class DataLoader:
                     out_queue.get_nowait()
                 except queue.Empty:
                     break
+
+
+def visual_packing_enabled(cfg) -> bool:
+    """Host-side column packing applies to the BN-Inception packed stem
+    only (and is pointless under the direct-stem A/B)."""
+    return (
+        cfg.model.arch == "bninception"
+        and not bool(cfg.get_path("tpu.direct_stem", False))
+        and bool(cfg.get_path("tpu.pack_visual_host", True))
+    )
 
 
 def create_dataloader(
@@ -263,4 +291,5 @@ def create_dataloader(
         device_put=device_put,
         pad_to=pad_to,
         shard=shard,
+        pack_visual=visual_packing_enabled(cfg),
     )

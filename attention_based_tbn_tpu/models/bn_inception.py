@@ -460,6 +460,7 @@ class BNInception(nn.Module):
         row_mask: jnp.ndarray = None,
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
+        input_packed: bool = False,
     ) -> jnp.ndarray:
         """(input_scale, input_offset): per-channel affine normalization of
         a raw uint8 input, applied inside the stem conv after its pure
@@ -467,7 +468,10 @@ class BNInception(nn.Module):
 
         ``row_mask``: 0/1 per batch row; zero-weight rows (the loader's pad
         rows) are excluded from every live BatchNorm statistic
-        (layers.TorchBatchNorm.row_mask)."""
+        (layers.TorchBatchNorm.row_mask).
+
+        ``input_packed``: the host loader delivered x column-paired,
+        (B, H, W/2, 2C) — see layers.TorchConv."""
         kw = dict(dtype=self.dtype)
         bn_kw = dict(train=train, row_mask=row_mask)
 
@@ -497,6 +501,7 @@ class BNInception(nn.Module):
                 x,
                 input_scale=input_scale,
                 input_offset=input_offset,
+                input_packed=input_packed,
                 **bn_kw,
             )
         y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl)

@@ -82,6 +82,7 @@ class TorchConv(nn.Module):
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
         skip_bias_add: bool = False,
+        input_packed: bool = False,
     ) -> jnp.ndarray:
         """Optional BN folding: with (fold_scale, fold_offset) the conv
         computes ``conv(x, W*scale) + (b*scale + offset)`` — algebraically
@@ -93,11 +94,24 @@ class TorchConv(nn.Module):
         Applying it HERE, after the pure batch-fold/column-pack reshapes,
         keeps those reshapes bitcast-free; normalizing before them makes
         XLA materialize layout copies around every reshape (measured
-        ~3 ms/batch for the 10-channel Flow stack)."""
+        ~3 ms/batch for the 10-channel Flow stack).
+
+        ``input_packed``: x arrives ALREADY column-paired, (B, H, W/2, 2C)
+        — the host loader does the pairing as a free numpy reshape
+        (data/loader.py), so the device graph never reshapes the raw
+        input at all (the on-device reshape costs ~3 ms/batch of layout
+        copies for the 25-segment Flow stream). Requires the 7x7/2 stem
+        geometry (same as space_to_depth)."""
         k = _pair(self.kernel_size)
         s = _pair(self.stride)
         p = _pair(self.padding)
-        in_features = x.shape[-1]
+        if input_packed:
+            assert k == (7, 7) and s == (2, 2) and p == (3, 3), (
+                "input_packed requires the 7x7/2/p3 stem geometry"
+            )
+            in_features = x.shape[-1] // 2
+        else:
+            in_features = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
@@ -107,14 +121,16 @@ class TorchConv(nn.Module):
         if fold_scale is not None:
             kernel = kernel * fold_scale  # per-output-channel, fp32
 
-        if (
+        if input_packed or (
             self.space_to_depth
             and k == (7, 7)
             and s == (2, 2)
             and p == (3, 3)
             and x.shape[2] % 2 == 0
         ):
-            y = self._packed_w_conv(x, kernel, input_scale, input_offset)
+            y = self._packed_w_conv(
+                x, kernel, input_scale, input_offset, input_packed
+            )
         else:
             if input_scale is not None:
                 x = x.astype(self.dtype) * input_scale.astype(
@@ -151,6 +167,7 @@ class TorchConv(nn.Module):
         kernel: jnp.ndarray,
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
+        input_packed: bool = False,
     ) -> jnp.ndarray:
         """7x7/2/p3 conv == (7,4)/(2,1) conv on the column-paired input.
 
@@ -166,18 +183,30 @@ class TorchConv(nn.Module):
         of range), packed padding (2, 2), H handled by the conv's own (3, 3)
         padding, and the one ceil-extra output column sliced off.
         """
-        b, h, w, c = x.shape
+        if input_packed:
+            # host already paired the columns: x is (B, H, W/2, 2C) and
+            # input_scale/offset (when given) already cover the 2C packed
+            # channels — no device reshape at all
+            b, h, w2, c2 = x.shape
+            c = c2 // 2
+            w = 2 * w2
+            xw = x.astype(self.dtype)
+            if input_scale is not None:
+                xw = xw * input_scale.astype(self.dtype) + input_offset.astype(
+                    self.dtype
+                )
+        else:
+            b, h, w, c = x.shape
+            # reshape FIRST (pure, any dtype incl. uint8), normalize after
+            # — see __call__ docstring
+            xw = x.reshape(b, h, w // 2, 2 * c).astype(self.dtype)
+            if input_scale is not None:
+                xw = xw * jnp.tile(input_scale, 2).astype(
+                    self.dtype
+                ) + jnp.tile(input_offset, 2).astype(self.dtype)
         out_h = (h + 6 - 7) // 2 + 1
         out_w = (w + 6 - 7) // 2 + 1
         o = kernel.shape[-1]
-
-        # reshape FIRST (pure, any dtype incl. uint8), normalize after —
-        # see __call__ docstring
-        xw = x.reshape(b, h, w // 2, 2 * c).astype(self.dtype)
-        if input_scale is not None:
-            xw = xw * jnp.tile(input_scale, 2).astype(self.dtype) + jnp.tile(
-                input_offset, 2
-            ).astype(self.dtype)
 
         # packed kernel (7, 4, 2C, O); channel packing (v, c)
         import numpy as _np
@@ -408,6 +437,7 @@ class ConvBN(nn.Module):
         input_scale: jnp.ndarray = None,
         input_offset: jnp.ndarray = None,
         row_mask: jnp.ndarray = None,
+        input_packed: bool = False,
     ) -> jnp.ndarray:
         conv = TorchConv(
             self.features,
@@ -419,7 +449,11 @@ class ConvBN(nn.Module):
             space_to_depth=self.space_to_depth,
             name="conv",
         )
-        in_kw = dict(input_scale=input_scale, input_offset=input_offset)
+        in_kw = dict(
+            input_scale=input_scale,
+            input_offset=input_offset,
+            input_packed=input_packed,
+        )
 
         if not train:
             scale, bias, mean, var = BNParams(self.features, name="bn")()

@@ -305,8 +305,16 @@ class TBNModel(nn.Module):
                 and spec.arch == "bninception"
             ):
                 # keep x uint8; the stem conv normalizes after its pure
-                # reshapes (avoids layout copies — layers.TorchConv)
+                # reshapes (avoids layout copies — layers.TorchConv).
+                # The loader may deliver the stream ALREADY column-paired
+                # ((B, N, H, W/2, 2C), a free numpy reshape on the host) —
+                # then the device graph starts at the packed shape and the
+                # input chain costs one fused normalize instead of ~3 ms
+                # of reshape/relayout copies (data/loader.py pack_visual).
+                base_ch = 3 if m == "RGB" else 2 * spec.flow_win_length
                 norm_kw = self._norm_affine(m, x.shape[-1])
+                if x.shape[-1] == 2 * base_ch:
+                    norm_kw["input_packed"] = True
             elif m in ("RGB", "Flow") and x.dtype == jnp.uint8:
                 x = self._normalize(m, x)
 

@@ -98,6 +98,9 @@ def max_pool2d(
             return pallas_pool.ceil_max_pool2d_pallas(x)
     (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # (Measured, round 3: lowering the small late-stage pools — 7x7/8x13
+    # maps — to shifted-max trees was ~1 ms WORSE end-to-end despite their
+    # low standalone bandwidth; reduce_window stays for every size.)
     if impl == "slices":
         xp = jnp.pad(
             x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), constant_values=init

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import VideoDataset
-from ..data.loader import DataLoader
+from ..data.loader import DataLoader, visual_packing_enabled
 from ..data.records import read_vid_list, resolve_vid_list_path
 from ..models.builder import build_model
 from ..parallel.mesh import make_mesh, maybe_initialize_distributed
@@ -114,6 +114,7 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
                 if jax.process_count() > 1
                 else None
             ),
+            pack_visual=visual_packing_enabled(cfg),
         )
         logger.info(f"{len(dataset)} action segments to be processed.")
         logger.info("Inference in progress...")
@@ -130,8 +131,7 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
             if targets["class"] is not None:
                 labeled = True
                 loss, preds = eval_step(
-                    state, batch, targets, jnp.asarray(0),
-                    jnp.asarray(true_bs, jnp.int32),
+                    state, batch, targets, jnp.asarray(0), int(true_bs)
                 )
                 metric.update(preds, targets, loss, batch_size=true_bs)
             else:

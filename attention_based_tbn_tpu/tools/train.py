@@ -97,7 +97,7 @@ def train_one_epoch(
         step_start = time.perf_counter()
         state, loss, preds = step_fn(
             state, batch, targets, rng, jnp.asarray(epoch),
-            jnp.asarray(meta["batch_size"], jnp.int32),
+            int(meta["batch_size"]),
         )
         metric.update(preds, targets, loss, batch_size=meta["batch_size"])
         loss_tracker = loss_tracker + loss["total"]
@@ -132,7 +132,7 @@ def validate(cfg, state, eval_fn, loader, epoch, logger):
     for batch, targets, meta in loader:
         loss, preds = eval_fn(
             state, batch, targets, jnp.asarray(epoch),
-            jnp.asarray(meta["batch_size"], jnp.int32),
+            int(meta["batch_size"]),
         )
         metric.update(preds, targets, loss, batch_size=meta["batch_size"])
 

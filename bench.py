@@ -67,12 +67,19 @@ def main():
     audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
 
     rng = np.random.default_rng(0)
+    # visual streams arrive host-column-paired (B, N, H, W/2, 2C), exactly
+    # as the production loader delivers them (data/loader.py pack_visual) —
+    # the device graph then starts at the packed stem shape
     batch = {
         "RGB": jnp.asarray(
-            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 3)), jnp.uint8
+            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 3))
+            .reshape(batch_size, n_segments, crop, crop // 2, 6),
+            jnp.uint8,
         ),
         "Flow": jnp.asarray(
-            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 10)), jnp.uint8
+            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 10))
+            .reshape(batch_size, n_segments, crop, crop // 2, 20),
+            jnp.uint8,
         ),
         "Audio": jnp.asarray(
             rng.standard_normal((batch_size, n_segments, audio_len)) * 0.1,

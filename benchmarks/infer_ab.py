@@ -64,12 +64,17 @@ def make_batch(cfg, batch_size=8):
     crop = int(cfg.data.test_crop_size)
     audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
     rng = np.random.default_rng(0)
+    # host-column-paired visual streams, like the production loader
     return {
         "RGB": jnp.asarray(
-            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 3)), jnp.uint8
+            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 3))
+            .reshape(batch_size, n_segments, crop, crop // 2, 6),
+            jnp.uint8,
         ),
         "Flow": jnp.asarray(
-            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 10)), jnp.uint8
+            rng.integers(0, 255, (batch_size, n_segments, crop, crop, 10))
+            .reshape(batch_size, n_segments, crop, crop // 2, 20),
+            jnp.uint8,
         ),
         "Audio": jnp.asarray(
             rng.standard_normal((batch_size, n_segments, audio_len)) * 0.1,

@@ -87,8 +87,7 @@ def main():
     step = make_train_step(model, tx, cfg, mesh=None)
 
     new_state, loss, _ = step(
-        state, batch, targets, jax.random.key(1), jnp.asarray(0),
-        jnp.asarray(batch_size, jnp.int32),
+        state, batch, targets, jax.random.key(1), jnp.asarray(0), batch_size
     )
     first = float(loss["total"])  # force compile + settle
 
@@ -97,8 +96,7 @@ def main():
     start = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = step(
-            state, batch, targets, jax.random.key(1), jnp.asarray(0),
-            jnp.asarray(batch_size, jnp.int32),
+            state, batch, targets, jax.random.key(1), jnp.asarray(0), batch_size
         )
     total = float(loss["total"])  # ONE readback ends the chain
     elapsed = time.perf_counter() - start

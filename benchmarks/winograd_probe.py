@@ -82,19 +82,25 @@ def winograd_conv3x3(x, w, dtype):
     return y.reshape(n, h, wd, k)
 
 
-def measure(fn, args, iters=30):
+def measure(fn, args, iters=24):
+    """Chain ``iters`` applications inside ONE jitted program (each input
+    perturbed by the previous output's [0,0,0,0] scalar so nothing folds),
+    one dispatch + one readback — per-call dispatch over the tunneled TPU
+    otherwise swamps single-conv timings (PERF.md methodology)."""
     import jax
+    import jax.numpy as jnp
 
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
-    # chain through a data dependency; one readback (PERF.md methodology)
-    dep = out.ravel()[0] * 1e-12
+    def chain(x, k):
+        dep = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            y = fn(x + dep.astype(x.dtype), k)
+            dep = y[0, 0, 0, 0].astype(jnp.float32) * 1e-12
+        return dep
+
+    jfn = jax.jit(chain)
+    float(jfn(*args))  # compile + settle
     start = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(args[0] + dep, *args[1:])
-        dep = out.ravel()[0] * 1e-12
-    float(dep)
+    float(jfn(*args))
     return (time.perf_counter() - start) / iters
 
 

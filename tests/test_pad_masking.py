@@ -195,12 +195,12 @@ class TestPaddedStepEquivalence:
         for key in l4:
             np.testing.assert_allclose(l4[key], l8[key], rtol=1e-5, err_msg=key)
         jax.tree.map(
-            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-7),
+            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-3, atol=2e-6),
             p4,
             p8,
         )
         jax.tree.map(
-            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-7),
+            lambda a, b_: np.testing.assert_allclose(a, b_, rtol=1e-3, atol=2e-6),
             s4,
             s8,
         )

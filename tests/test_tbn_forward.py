@@ -345,3 +345,85 @@ class TestForward:
         )
         out = init_and_run(cfg, ["RGB"], make_batch(["RGB"]))
         assert out["action"].shape == (B, 2513)
+
+
+class TestHostPackedVisualInput:
+    def test_packed_input_matches_unpacked(self):
+        """Host-column-paired (B, N, H, W/2, 2C) visual input produces the
+        same logits as the unpacked (B, N, H, W, C) input — the loader's
+        pack (data/loader.py pack_visual) is a pure reshape consumed
+        natively by the packed stem (layers.TorchConv input_packed)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from attention_based_tbn_tpu.config import load_config
+        from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+        cfg = load_config(
+            overrides=[
+                "model.attention.enable=False",
+                "model.num_classes={verb: 5, noun: 6}",
+                "tpu.compute_dtype=float32",
+            ]
+        )
+        rng = np.random.default_rng(0)
+        b, n, hw = 2, 2, 32
+        rgb = rng.integers(0, 255, (b, n, hw, hw, 3)).astype(np.uint8)
+        flow = rng.integers(0, 255, (b, n, hw, hw, 10)).astype(np.uint8)
+
+        model = TBNModel(TBNSpec.from_config(cfg, ["RGB", "Flow"]))
+        plain = {"RGB": jnp.asarray(rgb), "Flow": jnp.asarray(flow)}
+        packed = {
+            "RGB": jnp.asarray(rgb.reshape(b, n, hw, hw // 2, 6)),
+            "Flow": jnp.asarray(flow.reshape(b, n, hw, hw // 2, 20)),
+        }
+        variables = model.init(jax.random.key(0), plain, train=False)
+        out_plain = model.apply(variables, plain, train=False)
+        out_packed = model.apply(variables, packed, train=False)
+        for key in ("verb", "noun"):
+            np.testing.assert_allclose(
+                np.asarray(out_plain[key]),
+                np.asarray(out_packed[key]),
+                rtol=1e-6,
+                atol=1e-6,
+            )
+
+    def test_packed_train_step_shapes(self):
+        """The packed input also works on the train path (live BN +
+        backward through the packed stem)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from attention_based_tbn_tpu.config import load_config
+        from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+        cfg = load_config(
+            overrides=[
+                "model.attention.enable=False",
+                "model.num_classes={verb: 5, noun: 6}",
+                "tpu.compute_dtype=float32",
+            ]
+        )
+        rng = np.random.default_rng(0)
+        b, n, hw = 2, 2, 32
+        rgb = rng.integers(0, 255, (b, n, hw, hw, 3)).astype(np.uint8)
+        packed = {"RGB": jnp.asarray(rgb.reshape(b, n, hw, hw // 2, 6))}
+        plain = {"RGB": jnp.asarray(rgb)}
+
+        model = TBNModel(TBNSpec.from_config(cfg, ["RGB"]))
+        variables = model.init(jax.random.key(0), plain, train=False)
+
+        out_p, mut_p = model.apply(
+            variables, plain, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        out_k, mut_k = model.apply(
+            variables, packed, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p["verb"]), np.asarray(out_k["verb"]),
+            rtol=1e-5, atol=1e-5,
+        )
