@@ -196,9 +196,12 @@ class InceptionBlock(nn.Module):
             r_var = jnp.concatenate([v.value for _, v, _ in stat_cells])
             inv = jax.lax.rsqrt(r_var + eps) * scale
             return yf * inv + (bias - r_mean * inv)
+        # single-pass moments (var = E[x^2] - mean^2): both sums fuse into
+        # one read of the activations — see layers.TorchBatchNorm
         if row_mask is None:
             mean = jnp.mean(yf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
+            sq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
             n = yf.shape[0] * yf.shape[1] * yf.shape[2]
         else:
             # pad rows carry zero weight (see layers.TorchBatchNorm.row_mask)
@@ -207,7 +210,8 @@ class InceptionBlock(nn.Module):
                 yf.shape[1] * yf.shape[2]
             )
             mean = jnp.sum(yf * w, axis=(0, 1, 2)) / n
-            var = jnp.sum(jnp.square(yf - mean) * w, axis=(0, 1, 2)) / n
+            sq = jnp.sum(jnp.square(yf) * w, axis=(0, 1, 2)) / n
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
         if not self.is_initializing():
             momentum = BN_MOMENTUM
             if row_mask is None:

@@ -10,6 +10,7 @@ amount of asymmetric padding is computed — which is what this module does.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple, Union
 
 import jax
@@ -81,6 +82,101 @@ def _pool_via_slices(xp: jnp.ndarray, k, s, op) -> jnp.ndarray:
     return acc
 
 
+def _rw_max(x, k, s, pads):
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        init,
+        jax.lax.max,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0),) + tuple(pads) + ((0, 0),),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_fast_vjp(x, k, s, pads):
+    """Max pool with a phase-decomposed gather backward.
+
+    XLA's native max-pool gradient is a select-and-scatter pass (~4.3 ms of
+    the 44 ms training step on v5e traces). This backward instead GATHERS:
+    for each stride-phase of the input grid, the ≤⌈k/s⌉² windows covering
+    that phase are aligned output-sized slices of (y, g), so
+    dx = Σ_taps where(x == y_tap, g_tap) runs on output-sized arrays and the
+    phases interleave back with one reshape. (A first attempt scattered via
+    interior-dilated ``lax.pad`` of k² full-input-size fp32 arrays — the
+    stem pool alone materialized ~1.9 GB per tap and the step regressed
+    44 → 148 ms. The gather form touches each input element once.)
+
+    DOCUMENTED DIVERGENCE from torch / select-and-scatter tie-breaking: on
+    an exact tie every maximal position receives the window's gradient
+    (torch routes it to one winner). Both are valid subgradients of max;
+    ties only arise between bit-equal activations.
+    """
+    return _rw_max(x, k, s, pads)
+
+
+def _max_pool_fwd(x, k, s, pads):
+    y = _rw_max(x, k, s, pads)
+    return y, (x, y)
+
+
+def _max_pool_bwd(k, s, pads, res, g):
+    x, y = res
+    (pt, pb), (pl, pr) = pads
+    # -inf padding can never equal a window max (ceil-mode windows always
+    # overlap real data), so pad positions receive zero gradient.
+    xp = jnp.pad(
+        x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), constant_values=-jnp.inf
+    )
+    hp, wp = xp.shape[1], xp.shape[2]
+    sh, sw = s
+    gf = g.astype(jnp.float32)
+
+    def aligned(arr, t, u, a_len, b_len, fill):
+        """arr[a - t, b - u] on the (a_len, b_len) phase grid; out-of-range
+        positions (no covering window) filled so they cannot match/add."""
+        end_a = max(a_len - t - arr.shape[1], 0)
+        end_b = max(b_len - u - arr.shape[2], 0)
+        out = jnp.pad(
+            arr,
+            ((0, 0), (t, end_a), (u, end_b), (0, 0)),
+            constant_values=fill,
+        )
+        return out[:, :a_len, :b_len, :]
+
+    # Input position i = s·a + p is covered by windows o = a − t for
+    # t ∈ [0, (k−1−p)//s]; per phase p the taps are plain shifted slices.
+    a_max = (hp + sh - 1) // sh
+    b_max = (wp + sw - 1) // sw
+    phase_rows = []
+    for p in range(sh):
+        row = []
+        for q in range(sw):
+            a_len = (hp - p + sh - 1) // sh
+            b_len = (wp - q + sw - 1) // sw
+            xph = xp[:, p::sh, q::sw, :]
+            acc = jnp.zeros(xph.shape, jnp.float32)
+            for t in range((k[0] - 1 - p) // sh + 1):
+                for u in range((k[1] - 1 - q) // sw + 1):
+                    y_al = aligned(y, t, u, a_len, b_len, jnp.nan)
+                    g_al = aligned(gf, t, u, a_len, b_len, 0.0)
+                    acc = acc + jnp.where(xph == y_al, g_al, 0.0)
+            acc = jnp.pad(
+                acc,
+                ((0, 0), (0, a_max - a_len), (0, b_max - b_len), (0, 0)),
+            )
+            row.append(acc)
+        phase_rows.append(jnp.stack(row, axis=3))  # (N, A, B, sw, C)
+    ph = jnp.stack(phase_rows, axis=2)  # (N, A, sh, B, sw, C)
+    dxp = ph.reshape(x.shape[0], a_max * sh, b_max * sw, x.shape[-1])
+    dx = dxp[:, pt : pt + x.shape[1], pl : pl + x.shape[2], :]
+    return (dx.astype(x.dtype),)
+
+
+_max_pool_fast_vjp.defvjp(_max_pool_fwd, _max_pool_bwd)
+
+
 def max_pool2d(
     x: jnp.ndarray,
     kernel_size: IntPair,
@@ -88,6 +184,7 @@ def max_pool2d(
     padding: IntPair = 0,
     ceil_mode: bool = False,
     impl: str = "reduce_window",
+    fast_vjp: bool = False,
 ) -> jnp.ndarray:
     """torch.nn.MaxPool2d on NHWC input."""
     k, s, p = _pair(kernel_size), _pair(stride), _pair(padding)
@@ -96,24 +193,24 @@ def max_pool2d(
 
         if pallas_pool.supported(x, k, s, p, ceil_mode):
             return pallas_pool.ceil_max_pool2d_pallas(x)
-    (pt, pb), (pl, pr) = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    pads = _pool_padding(x.shape[1:3], k, s, p, ceil_mode)
     # (Measured, round 3: lowering the small late-stage pools — 7x7/8x13
     # maps — to shifted-max trees was ~1 ms WORSE end-to-end despite their
     # low standalone bandwidth; reduce_window stays for every size.)
     if impl == "slices":
+        init = (
+            -jnp.inf
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min
+        )
+        (pt, pb), (pl, pr) = pads
         xp = jnp.pad(
             x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), constant_values=init
         )
         return _pool_via_slices(xp, k, s, jnp.maximum)
-    return jax.lax.reduce_window(
-        x,
-        init,
-        jax.lax.max,
-        window_dimensions=(1, k[0], k[1], 1),
-        window_strides=(1, s[0], s[1], 1),
-        padding=((0, 0), (pt, pb), (pl, pr), (0, 0)),
-    )
+    if fast_vjp and jnp.issubdtype(x.dtype, jnp.floating):
+        return _max_pool_fast_vjp(x, k, s, tuple(pads))
+    return _rw_max(x, k, s, pads)
 
 
 def avg_pool2d(

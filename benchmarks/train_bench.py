@@ -58,12 +58,17 @@ def main():
     audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
 
     rng = np.random.default_rng(0)
+    # host-column-paired visual streams, like the production loader
     batch = {
         "RGB": jnp.asarray(
-            rng.integers(0, 255, (batch_size, n_seg, crop, crop, 3)), jnp.uint8
+            rng.integers(0, 255, (batch_size, n_seg, crop, crop, 3))
+            .reshape(batch_size, n_seg, crop, crop // 2, 6),
+            jnp.uint8,
         ),
         "Flow": jnp.asarray(
-            rng.integers(0, 255, (batch_size, n_seg, crop, crop, 10)), jnp.uint8
+            rng.integers(0, 255, (batch_size, n_seg, crop, crop, 10))
+            .reshape(batch_size, n_seg, crop, crop // 2, 20),
+            jnp.uint8,
         ),
         "Audio": jnp.asarray(
             rng.standard_normal((batch_size, n_seg, audio_len)) * 0.1, jnp.float32
