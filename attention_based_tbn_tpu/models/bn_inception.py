@@ -108,6 +108,8 @@ class InceptionBlock(nn.Module):
     pool_proj_conv: bool = False
     # Pool lowering strategy (ops/pooling.POOL_IMPLS).
     pool_impl: str = "reduce_window"
+    # Phase-gather max-pool backward (ops/pooling._max_pool_fast_vjp).
+    pool_fast_vjp: bool = False
 
     @nn.compact
     def __call__(
@@ -170,11 +172,11 @@ class InceptionBlock(nn.Module):
                     impl=self.pool_impl,
                 )
             else:
-                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl)
+                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
             branches.append(ConvBN(s.proj, 1, name="pool_proj", **kw)(pooled, **bn_kw))
         else:
             branches.append(
-                max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl)
+                max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
             )
 
         return jnp.concatenate(branches, axis=-1)
@@ -414,11 +416,11 @@ class InceptionBlock(nn.Module):
                 )
                 branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
             else:
-                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl)
+                pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
                 branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
         else:
             branches.append(
-                max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl)
+                max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
             )
 
         return jnp.concatenate(branches, axis=-1)
@@ -453,6 +455,8 @@ class BNInception(nn.Module):
     pool_proj_conv: bool = False
     # Pool lowering strategy (ops/pooling.POOL_IMPLS).
     pool_impl: str = "reduce_window"
+    # Phase-gather max-pool backward (ops/pooling._max_pool_fast_vjp).
+    pool_fast_vjp: bool = False
 
     feature_size: int = FEATURE_SIZE
 
@@ -508,10 +512,10 @@ class BNInception(nn.Module):
                 input_packed=input_packed,
                 **bn_kw,
             )
-        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl)
+        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
         y = ConvBN(64, 1, name="conv2_3x3_reduce", **kw)(y, **bn_kw)
         y = ConvBN(192, 3, padding=1, name="conv2_3x3", **kw)(y, **bn_kw)
-        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl)
+        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
 
         for name, spec in BN_INCEPTION_BLOCKS:
             y = InceptionBlock(
@@ -519,6 +523,7 @@ class BNInception(nn.Module):
                 merge_1x1=self.merge_1x1,
                 pool_proj_conv=self.pool_proj_conv,
                 pool_impl=self.pool_impl,
+                pool_fast_vjp=self.pool_fast_vjp,
                 name=name,
                 **kw,
             )(y, **bn_kw)

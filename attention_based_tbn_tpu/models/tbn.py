@@ -116,6 +116,10 @@ class TBNSpec:
     direct_stem: bool = False
     pool_proj_conv: bool = False
     pool_impl: str = "reduce_window"
+    # Custom phase-gather backward for the tower max pools (replaces XLA's
+    # select-and-scatter gradient; forward identical — see
+    # ops/pooling._max_pool_fast_vjp, incl. the tie-gradient divergence).
+    pool_fast_vjp: bool = False
     # Rematerialize tower activations in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for large activation-memory savings, enabling
     # bigger train batches.
@@ -171,6 +175,7 @@ class TBNSpec:
             pool_impl=str(
                 cfg.get_path("tpu.pool_impl", "reduce_window") or "reduce_window"
             ),
+            pool_fast_vjp=bool(cfg.get_path("tpu.pool_fast_vjp", False)),
             fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
             remat=bool(cfg.get_path("tpu.remat", False)),
         )
@@ -246,6 +251,7 @@ class TBNModel(nn.Module):
                 direct_stem=self.spec.direct_stem,
                 pool_proj_conv=self.spec.pool_proj_conv,
                 pool_impl=self.spec.pool_impl,
+                pool_fast_vjp=self.spec.pool_fast_vjp,
                 dtype=dtype,
             )
         elif self.spec.arch == "resnet":

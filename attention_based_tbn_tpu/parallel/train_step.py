@@ -90,6 +90,7 @@ def _mask_dispatcher(fns):
             state, batch, targets, *rest[:-1], jnp.int32(true_bs)
         )
 
+    dispatch.fns = fns  # the underlying jitted programs (AOT tools/tests)
     return dispatch
 
 

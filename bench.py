@@ -62,7 +62,13 @@ def main():
     model = TBNModel(spec)
 
     n_segments = int(cfg.test.num_segments)  # 25, the eval recipe
-    batch_size = 8
+    # Batch 10: XLA lowers this graph's convs/pools with the folded batch
+    # (batch x segments) in the 128-wide LANE dimension, padded to a
+    # multiple of 128. 10 x 25 = 250 -> 256 fills 97.7% of the lanes; the
+    # old batch 8 (200 -> 256) wasted 22% of every lane-tiled op. Measured
+    # (benchmarks/infer_ab.py merged_bN): b8 140.6, b5 190.1, b10 212.3,
+    # b20 163.3 clips/s.
+    batch_size = 10
     crop = int(cfg.data.test_crop_size)
     audio_len = int(cfg.data.audio.audio_length * cfg.data.audio.sampling_rate)
 

@@ -11,6 +11,7 @@ prints one JSON line per variant.
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -92,7 +93,13 @@ def build(variant, cfg):
     overrides = {
         "pool_proj_conv": "poolconv" in variant,
         "direct_stem": "directstem" in variant,
-        "pool_impl": "slices" if "slicepool" in variant else "reduce_window",
+        "pool_impl": (
+            "slices"
+            if "slicepool" in variant
+            else "pallas"
+            if "pallaspool" in variant
+            else "reduce_window"
+        ),
     }
     if "fastcons" in variant:
         overrides["fast_consensus"] = True
@@ -116,7 +123,14 @@ def main():
         ]
     )
     for variant in variants:
-        bs = 16 if variant.endswith("_b16") else 8
+        # "_bN" suffix selects the batch size (folded rows = N x 25 segs;
+        # the XLA batch-in-lanes layouts pad folded rows to a multiple of
+        # 128, so sizes with bs*25 just under a multiple — 5->125, 10->250,
+        # 20->500 — fill lanes better than the default 8->200->pad 256)
+        bs = 8
+        m = re.search(r"_b(\d+)$", variant)
+        if m:
+            bs = int(m.group(1))
         batch = make_batch(cfg, batch_size=bs)
         model = build(variant, cfg)
         sec, compile_s = measure(model, batch)

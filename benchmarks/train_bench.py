@@ -47,6 +47,7 @@ def main():
             "model.pretrained=False",
             "tpu.compute_dtype=bfloat16",
         ]
+        + sys.argv[1:]  # e.g. tpu.pool_fast_vjp=True for A/B runs
     )
     modality = ["RGB", "Flow", "Audio"]
     spec = TBNSpec.from_config(cfg, modality)
