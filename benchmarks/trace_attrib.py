@@ -72,13 +72,20 @@ def main():
         if op is None:
             unattributed[name] += ms
             continue
-        m = re.search(r"TBNModel/(Base_\w+|\w+)", op)
-        tower = m.group(1) if m else "(other)"
+        # paths look like jit(fwd)/TBNModel/Base_X/... or, in the train
+        # step, jit(step_fn)/jvp(TBNModel)/Base_X/... and
+        # transpose(jvp(TBNModel))/Base_X/... (backward ops)
+        m = re.search(r"(Base_\w+)/([\w.]+?)(?:/|$)", op)
+        if m:
+            tower, layer = m.group(1), f"{m.group(1)}/{m.group(2)}"
+        else:
+            seg = re.search(r"TBNModel\)*/(\w+)", op)
+            tower = seg.group(1) if seg else op.split("/")[-1][:30]
+            layer = tower
+        if "transpose(" in op:
+            tower += " (bwd)"
+            layer += " (bwd)"
         per_tower[tower] += ms
-        lm = re.search(
-            r"TBNModel/(Base_\w+)/([\w.]+?)(?:/|$)", op
-        )
-        layer = f"{lm.group(1)}/{lm.group(2)}" if lm else tower
         per_layer[layer] += ms
 
     print(f"total {total:.2f} ms over {n_execs} execs -> {total/n_execs:.2f} ms/exec")
