@@ -94,6 +94,53 @@ def _mask_dispatcher(fns):
     return dispatch
 
 
+def _build_train_step_fn(model, tx, cfg, masked: bool):
+    """One full training step as a pure function (forward + loss + backward
+    + clip + optimizer + BN-stat update) — the body shared by the
+    per-batch (`make_train_step`) and scanned (`make_multi_train_step`)
+    entry points."""
+
+    def step_fn(state: TrainState, batch, targets, rng, epoch, true_bs):
+        tb = true_bs if masked else None
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {
+            "dropout": step_rng,
+            "gumbel": jax.random.fold_in(step_rng, 1),
+            "audio_dropout": jax.random.fold_in(step_rng, 2),
+        }
+
+        def loss_fn(params):
+            preds, new_stats = _forward(
+                model, params, state.batch_stats, batch, True, rngs,
+                true_batch=tb,
+            )
+            loss = tbn_loss(
+                preds,
+                targets,
+                cfg,
+                epoch=epoch,
+                train=True,
+                attention_weights=preds.get("weights"),
+                true_batch=tb,
+            )
+            return loss["total"], (loss, preds, new_stats)
+
+        grads, (loss, preds, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss, preds
+
+    return step_fn
+
+
 def make_train_step(
     model: TBNModel,
     tx: optax.GradientTransformation,
@@ -110,45 +157,7 @@ def make_train_step(
     only ragged last batches compile + run the masked variant."""
 
     def build(masked: bool):
-        def step_fn(state: TrainState, batch, targets, rng, epoch, true_bs):
-            tb = true_bs if masked else None
-            step_rng = jax.random.fold_in(rng, state.step)
-            rngs = {
-                "dropout": step_rng,
-                "gumbel": jax.random.fold_in(step_rng, 1),
-                "audio_dropout": jax.random.fold_in(step_rng, 2),
-            }
-
-            def loss_fn(params):
-                preds, new_stats = _forward(
-                    model, params, state.batch_stats, batch, True, rngs,
-                    true_batch=tb,
-                )
-                loss = tbn_loss(
-                    preds,
-                    targets,
-                    cfg,
-                    epoch=epoch,
-                    train=True,
-                    attention_weights=preds.get("weights"),
-                    true_batch=tb,
-                )
-                return loss["total"], (loss, preds, new_stats)
-
-            grads, (loss, preds, new_stats) = jax.grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                step=state.step + 1,
-                params=new_params,
-                batch_stats=new_stats,
-                opt_state=new_opt_state,
-            )
-            return new_state, loss, preds
-
-        return step_fn
+        return _build_train_step_fn(model, tx, cfg, masked)
 
     if mesh is None:
         fns = {m: jax.jit(build(m), donate_argnums=(0,)) for m in (False, True)}
@@ -165,6 +174,65 @@ def make_train_step(
             for m in (False, True)
         }
     return _mask_dispatcher(fns)
+
+
+def make_multi_train_step(
+    model: TBNModel,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    steps: int = 4,
+) -> Callable:
+    """``steps`` full training steps per dispatch via an in-graph
+    ``lax.scan``: fn(state, batches, targetss, rng, epoch) ->
+    (state, loss_dicts, preds) where ``batches``/``targetss`` are the
+    per-step pytrees stacked on a new leading axis of length ``steps``
+    and every output leaf carries the per-step leading axis.
+
+    Rationale: one dispatch per step pays the host->device launch
+    round-trip per batch (~9 ms on a tunneled runtime; still ~10s of us
+    locally) and caps throughput at the Python loop rate. Scanning K steps
+    inside one executable runs them back-to-back on device — the TPU-native
+    equivalent of the reference's tight CUDA-stream loop
+    (core/tools/train.py:69-104). Semantics are identical to K sequential
+    `make_train_step` calls on full (unpadded) batches: the per-step rng
+    folds state.step exactly like the single-step path, and BN statistics /
+    optimizer state thread through the scan carry
+    (tests/test_train_step.py::test_multi_step_matches_sequential).
+
+    Pad-row masking is NOT supported here — ragged tail batches must go
+    through `make_train_step`'s masked program (tools/train.py routes
+    them there)."""
+
+    step_fn = _build_train_step_fn(model, tx, cfg, masked=False)
+
+    def multi_fn(state: TrainState, batches, targetss, rng, epoch):
+        rows = next(
+            v.shape[1] for v in batches.values() if hasattr(v, "shape")
+        )
+
+        def body(st, xs):
+            batch, targets = xs
+            st, loss, preds = step_fn(
+                st, batch, targets, rng, epoch, jnp.int32(rows)
+            )
+            return st, (loss, preds)
+
+        state, (losses, preds) = jax.lax.scan(
+            body, state, (batches, targetss), length=steps
+        )
+        return state, losses, preds
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        multi_fn,
+        in_shardings=(NamedSharding(mesh, P()), data, data, repl, repl),
+        out_shardings=(NamedSharding(mesh, P()),) * 3,
+        donate_argnums=(0,),
+    )
 
 
 def make_eval_step(model: TBNModel, cfg, mesh: Optional[Mesh] = None) -> Callable:

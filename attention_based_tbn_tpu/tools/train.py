@@ -33,6 +33,7 @@ from ..parallel.optim import (
 from ..parallel.train_step import (
     TrainState,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
 )
 from ..utils.checkpoint import (
@@ -75,7 +76,8 @@ def _pad_batch(batch, targets, total: int):
 
 
 def train_one_epoch(
-    cfg, state, step_fn, loader, metric, epoch, rng, logger, run_dir=None
+    cfg, state, step_fn, loader, metric, epoch, rng, logger, run_dir=None,
+    multi_step=None,
 ):
     no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
     log_interval = max(no_batches // 4, 1)
@@ -91,23 +93,27 @@ def train_one_epoch(
     if profiling:
         jax.profiler.start_trace(os.path.join(run_dir, "profile"))
 
-    step_times = []
-    loader.set_epoch(epoch)
-    for iter_no, (batch, targets, meta) in enumerate(loader):
-        step_start = time.perf_counter()
-        state, loss, preds = step_fn(
-            state, batch, targets, rng, jnp.asarray(epoch),
-            int(meta["batch_size"]),
-        )
-        metric.update(preds, targets, loss, batch_size=meta["batch_size"])
-        loss_tracker = loss_tracker + loss["total"]
-        step_times.append(time.perf_counter() - step_start)
+    # tpu.steps_per_call > 1: group consecutive FULL batches and run them
+    # through one scanned executable (parallel/train_step.py
+    # make_multi_train_step) — per-batch dispatch overhead is paid once
+    # per group. Ragged (padded) tail batches flush through the per-batch
+    # masked program unchanged.
+    multi_fn, group_len = multi_step if multi_step else (None, 1)
 
-        if profiling and iter_no + 1 == profile_steps:
+    step_times = []
+    iter_no = -1
+    epoch_dev = jnp.asarray(epoch)
+
+    def after_step(loss, preds, targets, bs, elapsed):
+        nonlocal loss_tracker, iter_no, profiling
+        iter_no += 1
+        metric.update(preds, targets, loss, batch_size=bs)
+        loss_tracker = loss_tracker + loss["total"]
+        step_times.append(elapsed)
+        if profiling and iter_no + 1 >= profile_steps:
             jax.profiler.stop_trace()
             profiling = False
             logger.info(f"Saved device trace to {run_dir}/profile")
-
         if iter_no == 0 or (iter_no + 1) % log_interval == 0:
             logger.info(
                 "Batch Progress: [{}/{}] || Train Loss: {:.5f} || "
@@ -118,6 +124,54 @@ def train_one_epoch(
                     float(np.mean(step_times[-log_interval:])),
                 )
             )
+
+    pending = []
+    loader.set_epoch(epoch)
+    for batch, targets, meta in loader:
+        bs = int(meta["batch_size"])
+        rows = next(v.shape[0] for v in batch.values() if hasattr(v, "shape"))
+        if multi_fn is not None and bs == rows:
+            pending.append((batch, targets, bs))
+            if len(pending) == group_len:
+                step_start = time.perf_counter()
+                batches = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[p[0] for p in pending]
+                )
+                targetss = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[p[1] for p in pending]
+                )
+                state, losses, predss = multi_fn(
+                    state, batches, targetss, rng, epoch_dev
+                )
+                per = (time.perf_counter() - step_start) / group_len
+                for i, (_, tgt, b) in enumerate(pending):
+                    step_i = jax.tree.map(lambda x: x[i], (losses, predss))
+                    after_step(step_i[0], step_i[1], tgt, b, per)
+                pending.clear()
+            continue
+        # ragged batch (or multi-step disabled): drain any queued full
+        # batches one by one, then run this one through the dispatcher
+        for qbatch, qtargets, qbs in pending:
+            step_start = time.perf_counter()
+            state, loss, preds = step_fn(
+                state, qbatch, qtargets, rng, epoch_dev, qbs
+            )
+            after_step(loss, preds, qtargets, qbs,
+                       time.perf_counter() - step_start)
+        pending.clear()
+        step_start = time.perf_counter()
+        state, loss, preds = step_fn(
+            state, batch, targets, rng, epoch_dev, bs
+        )
+        after_step(loss, preds, targets, bs, time.perf_counter() - step_start)
+
+    for qbatch, qtargets, qbs in pending:
+        step_start = time.perf_counter()
+        state, loss, preds = step_fn(
+            state, qbatch, qtargets, rng, epoch_dev, qbs
+        )
+        after_step(loss, preds, qtargets, qbs, time.perf_counter() - step_start)
+    pending.clear()
 
     if profiling:
         jax.profiler.stop_trace()
@@ -221,6 +275,13 @@ def run_trainer(cfg, logger, modality, writer=None):
         logger.info(f"Model will continue training from epoch no {start_epoch + 1}")
 
     train_step = make_train_step(model, tx, cfg, mesh)
+    steps_per_call = int(cfg.get_path("tpu.steps_per_call", 1) or 1)
+    multi_step = None
+    if steps_per_call > 1:
+        multi_step = (
+            make_multi_train_step(model, tx, cfg, mesh, steps=steps_per_call),
+            steps_per_call,
+        )
     eval_step = make_eval_step(model, cfg, mesh)
     best_acc = float("-inf")
 
@@ -241,6 +302,7 @@ def run_trainer(cfg, logger, modality, writer=None):
             cfg, state, train_step, train_loader, metric, epoch,
             jax.random.fold_in(rng, epoch), logger,
             run_dir=cfg.get_path("run_dir"),
+            multi_step=multi_step,
         )
         train_loss_hist.append(train_loss)
 
