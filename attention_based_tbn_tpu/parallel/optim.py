@@ -96,8 +96,16 @@ def _freeze_labels(params: Dict, cfg, modality) -> Dict:
     return labels
 
 
-def build_optimizer(cfg, params: Dict, modality) -> Tuple[optax.GradientTransformation, Dict]:
-    """(optimizer, freeze-label tree). Apply with the labeled multi_transform."""
+def build_optimizer(
+    cfg, params: Dict, modality, accumulate: bool = True
+) -> Tuple[optax.GradientTransformation, Dict]:
+    """(optimizer, freeze-label tree). Apply with the labeled multi_transform.
+
+    ``accumulate=False`` skips the ``optax.MultiSteps`` wrap even when
+    ``accumulator_step > 1`` — for the fused-accumulation train step
+    (parallel/train_step.make_fused_accum_step), where the G micro-batch
+    gradients are averaged inside one program and the raw chain must see
+    the mean exactly once."""
     opt_cfg = cfg.train.optim
 
     if opt_cfg.type.lower() == "sgd":
@@ -127,7 +135,7 @@ def build_optimizer(cfg, params: Dict, modality) -> Tuple[optax.GradientTransfor
     )
 
     k = int(opt_cfg.accumulator_step)
-    if k > 1:
+    if k > 1 and accumulate:
         tx = optax.MultiSteps(tx, every_k_schedule=k)
     return tx, labels
 

@@ -176,6 +176,174 @@ def make_train_step(
     return _mask_dispatcher(fns)
 
 
+def _compose_group_ema(old_stats, group_stats, momentum: float, groups: int):
+    """Replay G sequential running-stat EMA updates from per-group results.
+
+    Under ``jax.vmap`` every BN module computed, per micro-batch group i,
+    ``new_i = (1-m)*old + m*s_i`` against the SAME broadcast ``old``. The
+    reference applies its G micro-batch updates sequentially
+    (core/tools/train.py:69-94 runs G separate forwards); recover each
+    group's batch statistic ``s_i`` and re-apply the updates in order —
+    exact, and O(G * num_channels) work."""
+
+    def leaf(old, new_g):
+        s = (new_g - (1.0 - momentum) * old[None]) / momentum
+        r = old
+        for i in range(groups):
+            r = (1.0 - momentum) * r + momentum * s[i]
+        return r
+
+    return jax.tree.map(leaf, old_stats, group_stats)
+
+
+def _build_fused_accum_step_fn(model, tx, cfg, masked: bool):
+    """Gradient accumulation as ONE program: ``jax.vmap`` over the G
+    micro-batches (the reference's ``accumulator_step`` loop,
+    core/tools/train.py:66-94).
+
+    TPU rationale (hypothesis): XLA collapses the vmapped dimension into
+    the conv/pool batch, so the folded row count per op grows G-fold — at
+    the reference recipe (batch 12 x 3 segments = 36 folded rows) the
+    lane-tiled ops pad 36 rows up to the 128-wide lane tile; G=4 fills
+    144 of 256 lanes. MEASURED NEGATIVE on v5e (59.6 ms/micro-batch vs
+    42.3 sequential, PERF.md round 3): the fused backward holds G× the
+    activation footprint and the resulting scheduling/spill cost exceeds
+    the lane-fill win. Off by default (``tpu.fuse_accum``); kept as a
+    correct, tested opt-in for small-model / tiny-batch regimes.
+    Semantics match G sequential accumulate-then-step micro-batches
+    exactly:
+
+    * per-group BatchNorm batch statistics (vmap maps the BN reductions
+      per group — each micro-batch is normalized by its own moments, as
+      the reference's G separate forwards are);
+    * running stats: the G sequential EMA updates are replayed in order
+      (:func:`_compose_group_ema`);
+    * gradient: d/dp mean_g(loss_g) == the mean of the G micro-gradients
+      (what ``optax.MultiSteps`` hands its inner transform on the G-th
+      step), fed ONCE to the raw (un-wrapped) optimizer chain — build the
+      optimizer with ``build_optimizer(..., accumulate=False)``;
+    * rng: per-group fold of the step rng (stream differs from the
+      sequential path; distributions identical).
+
+    The returned fn is shape-generic over G (a ragged final group of
+    fewer micro-batches recompiles once for its G and updates with the
+    mean over those groups — the reference instead carries a partial
+    accumulator across the epoch boundary; divergence documented in
+    PARITY.md).
+    """
+    from ..models.layers import BN_MOMENTUM
+
+    def step_fn(state: TrainState, batches, targetss, rng, epoch, true_bss):
+        groups = next(
+            v.shape[0] for v in batches.values() if hasattr(v, "shape")
+        )
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def group_rngs(i):
+            r = jax.random.fold_in(step_rng, i)
+            return {
+                "dropout": r,
+                "gumbel": jax.random.fold_in(r, 1),
+                "audio_dropout": jax.random.fold_in(r, 2),
+            }
+
+        rngs_g = jax.vmap(group_rngs)(jnp.arange(groups))
+
+        def loss_fn(params):
+            def one(batch, targets, rngs, tb):
+                tb = tb if masked else None
+                preds, new_stats = _forward(
+                    model, params, state.batch_stats, batch, True, rngs,
+                    true_batch=tb,
+                )
+                loss = tbn_loss(
+                    preds,
+                    targets,
+                    cfg,
+                    epoch=epoch,
+                    train=True,
+                    attention_weights=preds.get("weights"),
+                    true_batch=tb,
+                )
+                return loss["total"], (loss, preds, new_stats)
+
+            totals, aux = jax.vmap(one)(batches, targetss, rngs_g, true_bss)
+            return jnp.mean(totals), aux
+
+        grads, (loss, preds, statss) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_stats = state.batch_stats
+        if new_stats:
+            new_stats = _compose_group_ema(
+                new_stats, statss, BN_MOMENTUM, groups
+            )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss, preds
+
+    return step_fn
+
+
+def make_fused_accum_step(
+    model: TBNModel,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Returns fn(state, batches, targetss, rng, epoch, true_bss) ->
+    (state, loss_dict_per_group, preds_per_group): ONE optimizer update
+    from G stacked micro-batches (leaves ``(G, B, ...)``;
+    ``true_bss``: host sequence of per-group true batch sizes). See
+    :func:`_build_fused_accum_step_fn`. ``tx`` must be the raw optimizer
+    (``build_optimizer(..., accumulate=False)``) — accumulation IS the
+    fused mean, wrapping it in ``optax.MultiSteps`` would double-count.
+
+    Masked-vs-unmasked is compile-time static like ``make_train_step``:
+    groups of full batches run the unmasked program; a group containing a
+    padded (ragged) batch runs the masked one with per-group row masks."""
+
+    def build(masked: bool):
+        return _build_fused_accum_step_fn(model, tx, cfg, masked)
+
+    if mesh is None:
+        fns = {
+            m: jax.jit(build(m), donate_argnums=(0,)) for m in (False, True)
+        }
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(None, DATA_AXIS))
+        fns = {
+            m: jax.jit(
+                build(m),
+                in_shardings=(repl, data, data, repl, repl, repl),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0,),
+            )
+            for m in (False, True)
+        }
+
+    def dispatch(state, batches, targetss, rng, epoch, true_bss):
+        rows = next(
+            v.shape[1] for v in batches.values() if hasattr(v, "shape")
+        )
+        tbs = tuple(int(t) for t in true_bss)
+        masked = any(t != int(rows) for t in tbs)
+        return fns[masked](
+            state, batches, targetss, rng, epoch,
+            jnp.asarray(tbs, jnp.int32),
+        )
+
+    dispatch.fns = fns
+    return dispatch
+
+
 def make_multi_train_step(
     model: TBNModel,
     tx: optax.GradientTransformation,
@@ -227,6 +395,44 @@ def make_multi_train_step(
         return jax.jit(multi_fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        multi_fn,
+        in_shardings=(NamedSharding(mesh, P()), data, data, repl, repl),
+        out_shardings=(NamedSharding(mesh, P()),) * 3,
+        donate_argnums=(0,),
+    )
+
+
+def make_multi_fused_step(
+    model: TBNModel,
+    tx: optax.GradientTransformation,
+    cfg,
+    mesh: Optional[Mesh] = None,
+    steps: int = 4,
+) -> Callable:
+    """``steps`` fused-accumulation updates per dispatch: scan over K
+    groups of G stacked micro-batches (leaves ``(K, G, B, ...)``) —
+    the scan-per-dispatch of :func:`make_multi_train_step` composed with
+    the vmap-per-update of :func:`make_fused_accum_step`. Full (unpadded)
+    batches only; ragged tails go through the per-group dispatcher."""
+
+    step_fn = _build_fused_accum_step_fn(model, tx, cfg, masked=False)
+
+    def multi_fn(state: TrainState, batches, targetss, rng, epoch):
+        def body(st, xs):
+            batch, targets = xs
+            st, loss, preds = step_fn(st, batch, targets, rng, epoch, None)
+            return st, (loss, preds)
+
+        state, (losses, preds) = jax.lax.scan(
+            body, state, (batches, targetss), length=steps
+        )
+        return state, losses, preds
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, None, DATA_AXIS))
     return jax.jit(
         multi_fn,
         in_shardings=(NamedSharding(mesh, P()), data, data, repl, repl),

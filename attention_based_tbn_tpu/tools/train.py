@@ -77,7 +77,7 @@ def _pad_batch(batch, targets, total: int):
 
 def train_one_epoch(
     cfg, state, step_fn, loader, metric, epoch, rng, logger, run_dir=None,
-    multi_step=None,
+    multi_step=None, fused_step=None,
 ):
     no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
     log_interval = max(no_batches // 4, 1)
@@ -126,10 +126,52 @@ def train_one_epoch(
             )
 
     pending = []
+
+    # tpu.fuse_accum: accumulator_step micro-batches -> ONE fused program
+    # (vmap over the group axis, parallel/train_step.make_fused_accum_step)
+    # and ONE optimizer update — the reference's accumulate-then-step loop
+    # (core/tools/train.py:66-94) with the G forwards sharing every op's
+    # lane tiles. A ragged final group (epoch end, or a shape-changing
+    # padded tail batch) runs as a smaller group: the update averages over
+    # the groups it has (the reference instead carries a partial
+    # accumulator across epochs — PARITY.md).
+    fused_fn, accum_k = fused_step if fused_step else (None, 1)
+
+    def flush_fused():
+        nonlocal state
+        if not pending:
+            return
+        step_start = time.perf_counter()
+        batches = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[p[0] for p in pending]
+        )
+        targetss = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[p[1] for p in pending]
+        )
+        true_bss = [p[2] for p in pending]
+        state, losses, predss = fused_fn(
+            state, batches, targetss, rng, epoch_dev, true_bss
+        )
+        per = (time.perf_counter() - step_start) / len(pending)
+        for i, (_, tgt, b) in enumerate(pending):
+            loss_i, preds_i = jax.tree.map(lambda x: x[i], (losses, predss))
+            after_step(loss_i, preds_i, tgt, b, per)
+        pending.clear()
+
     loader.set_epoch(epoch)
     for batch, targets, meta in loader:
         bs = int(meta["batch_size"])
         rows = next(v.shape[0] for v in batch.values() if hasattr(v, "shape"))
+        if fused_fn is not None:
+            if pending and rows != next(
+                v.shape[0] for v in pending[0][0].values()
+                if hasattr(v, "shape")
+            ):
+                flush_fused()  # shape change (padded tail): close the group
+            pending.append((batch, targets, bs))
+            if len(pending) == accum_k:
+                flush_fused()
+            continue
         if multi_fn is not None and bs == rows:
             pending.append((batch, targets, bs))
             if len(pending) == group_len:
@@ -165,13 +207,18 @@ def train_one_epoch(
         )
         after_step(loss, preds, targets, bs, time.perf_counter() - step_start)
 
-    for qbatch, qtargets, qbs in pending:
-        step_start = time.perf_counter()
-        state, loss, preds = step_fn(
-            state, qbatch, qtargets, rng, epoch_dev, qbs
-        )
-        after_step(loss, preds, qtargets, qbs, time.perf_counter() - step_start)
-    pending.clear()
+    if fused_fn is not None:
+        flush_fused()  # ragged final group: smaller-G program
+    else:
+        for qbatch, qtargets, qbs in pending:
+            step_start = time.perf_counter()
+            state, loss, preds = step_fn(
+                state, qbatch, qtargets, rng, epoch_dev, qbs
+            )
+            after_step(
+                loss, preds, qtargets, qbs, time.perf_counter() - step_start
+            )
+        pending.clear()
 
     if profiling:
         jax.profiler.stop_trace()
@@ -243,7 +290,12 @@ def run_trainer(cfg, logger, modality, writer=None):
         cfg, modality, params, variables.get("batch_stats", {}), logger
     )
 
-    tx, _ = build_optimizer(cfg, params, modality)
+    # Fused gradient accumulation (vmap over the micro-batch group inside
+    # one program + one raw-optimizer update) replaces the MultiSteps wrap
+    # when accumulation is on — see parallel/train_step.make_fused_accum_step.
+    accum_k = int(cfg.train.optim.accumulator_step)
+    fuse_accum = bool(cfg.get_path("tpu.fuse_accum", False)) and accum_k > 1
+    tx, _ = build_optimizer(cfg, params, modality, accumulate=not fuse_accum)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -274,10 +326,17 @@ def run_trainer(cfg, logger, modality, writer=None):
         val_acc_hist = history.get("validation_accuracy", val_acc_hist)
         logger.info(f"Model will continue training from epoch no {start_epoch + 1}")
 
+    fused_step = None
+    if fuse_accum:
+        from ..parallel.train_step import make_fused_accum_step
+
+        fused_step = (make_fused_accum_step(model, tx, cfg, mesh), accum_k)
+        # every batch goes through the fused path; the per-batch step below
+        # stays for the eval/ragged plumbing but is not hit in training
     train_step = make_train_step(model, tx, cfg, mesh)
     steps_per_call = int(cfg.get_path("tpu.steps_per_call", 1) or 1)
     multi_step = None
-    if steps_per_call > 1:
+    if steps_per_call > 1 and not fuse_accum:
         multi_step = (
             make_multi_train_step(model, tx, cfg, mesh, steps=steps_per_call),
             steps_per_call,
@@ -303,6 +362,7 @@ def run_trainer(cfg, logger, modality, writer=None):
             jax.random.fold_in(rng, epoch), logger,
             run_dir=cfg.get_path("run_dir"),
             multi_step=multi_step,
+            fused_step=fused_step,
         )
         train_loss_hist.append(train_loss)
 

@@ -91,6 +91,7 @@ def main():
     state = state.replace(opt_state=tx.init(state.params))
 
     from attention_based_tbn_tpu.parallel.train_step import (
+        make_multi_fused_step,
         make_multi_train_step,
     )
 
@@ -102,13 +103,32 @@ def main():
     # execution. The scan consumes K DISTINCT batches (stacked leading
     # axis), exactly like the trainer — nothing is loop-invariant, so XLA
     # cannot hoist input preprocessing (or anything else) out of the loop.
-    scan_len = 8
+    #
+    # With train.optim.accumulator_step=G > 1 + tpu.fuse_accum=True (A/B
+    # opt-in; measured negative, PERF.md round 3) the scanned executable
+    # is the FUSED one: each scan element is a (G, B, ...) group = one
+    # optimizer update, vmapped over the G micro-batches. The reported
+    # sec_per_step is per MICRO-batch (12 clips), comparable across modes;
+    # the reference's headline MHA recipe uses accumulator_step=4
+    # (README.md:113). tx must then be built with accumulate=False.
+    accum_k = int(cfg.train.optim.accumulator_step)
+    fused = accum_k > 1 and bool(cfg.get_path("tpu.fuse_accum", False))
+    if fused:
+        tx, _ = build_optimizer(cfg, state.params, modality, accumulate=False)
+        state = state.replace(opt_state=tx.init(state.params))
+
+    scan_len = 8 // accum_k if fused else 8
+    scan_len = max(scan_len, 2)
+    micro_per_call = scan_len * (accum_k if fused else 1)
     rng_key = jax.random.key(1)
 
     @jax.jit
     def gen_batches(key):
         ks = jax.random.split(key, 3)
-        shp = lambda a: (scan_len,) + a.shape  # noqa: E731
+        if fused:
+            shp = lambda a: (scan_len, accum_k) + a.shape  # noqa: E731
+        else:
+            shp = lambda a: (scan_len,) + a.shape  # noqa: E731
         return {
             "RGB": jax.random.randint(ks[0], shp(batch["RGB"]), 0, 255, jnp.uint8),
             "Flow": jax.random.randint(ks[1], shp(batch["Flow"]), 0, 255, jnp.uint8),
@@ -116,16 +136,24 @@ def main():
         }
 
     batches = gen_batches(jax.random.key(7))
+    lead = (scan_len, accum_k) if fused else (scan_len,)
     targetss = jax.tree.map(
-        lambda x: jnp.stack([x] * scan_len), targets
+        lambda x: jnp.broadcast_to(x, lead + x.shape), targets
     )
 
-    multi_step = make_multi_train_step(model, tx, cfg, mesh=None, steps=scan_len)
+    if fused:
+        multi_step = make_multi_fused_step(
+            model, tx, cfg, mesh=None, steps=scan_len
+        )
+    else:
+        multi_step = make_multi_train_step(
+            model, tx, cfg, mesh=None, steps=scan_len
+        )
 
     new_state, losses, _ = multi_step(
         state, batches, targetss, rng_key, jnp.asarray(0)
     )
-    first = float(losses["total"][0])  # force compile + settle
+    first = float(np.ravel(losses["total"])[0])  # force compile + settle
 
     outer = 6
     state = new_state
@@ -134,10 +162,10 @@ def main():
         state, losses, _ = multi_step(
             state, batches, targetss, rng_key, jnp.asarray(0)
         )
-    total = float(losses["total"][-1])  # ONE readback ends the chain
+    total = float(np.ravel(losses["total"])[-1])  # ONE readback ends the chain
     elapsed = time.perf_counter() - start
 
-    sec_per_step = elapsed / (outer * scan_len)
+    sec_per_step = elapsed / (outer * micro_per_call)
     print(
         json.dumps(
             {
@@ -147,6 +175,8 @@ def main():
                 "sec_per_step": round(sec_per_step, 4),
                 "batch_size": batch_size,
                 "segments": n_seg,
+                "accumulator_step": accum_k,
+                "fused_accum": fused,
                 "loss_first": round(first, 4),
                 "loss_last": round(total, 4),
                 "device": str(jax.devices()[0]),

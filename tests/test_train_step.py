@@ -315,3 +315,166 @@ class TestGradAccumulation:
         )
         p2 = np.asarray(state.params["classifier"]["verb"]["kernel"])
         assert not np.allclose(p1, p2)  # second micro-step applies
+
+
+class TestFusedAccum:
+    """tpu.fuse_accum: one vmapped program per optimizer update must match
+    the MultiSteps accumulate-then-step path (same math, different
+    executables)."""
+
+    def test_compose_group_ema_replays_sequential(self):
+        from attention_based_tbn_tpu.parallel.train_step import (
+            _compose_group_ema,
+        )
+
+        rng = np.random.default_rng(0)
+        m = 0.1
+        old = {"bn": {"mean": jnp.asarray(rng.standard_normal(5), jnp.float32)}}
+        stats = rng.standard_normal((3, 5)).astype(np.float32)
+        # what vmapped BN modules return: per-group (1-m)*old + m*s_i
+        group_new = {
+            "bn": {"mean": (1 - m) * old["bn"]["mean"][None] + m * stats}
+        }
+        got = _compose_group_ema(old, group_new, m, 3)["bn"]["mean"]
+        want = np.asarray(old["bn"]["mean"])
+        for i in range(3):
+            want = (1 - m) * want + m * stats[i]
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+    @pytest.mark.slow  # compiles the fused + sequential programs (~3 min CPU)
+    def test_fused_matches_multisteps(self):
+        from attention_based_tbn_tpu.parallel.train_step import (
+            make_fused_accum_step,
+        )
+
+        cfg = small_cfg(**{
+            "train.optim.accumulator_step": 2,
+            # fp32: the fused (vmapped) and sequential executables differ
+            # only by reassociation, so tolerances stay tight
+            "tpu.compute_dtype": "float32",
+        })
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        mesh = make_mesh(cfg)
+
+        b1, targets1 = make_batch(b=B)
+        rng2 = np.random.default_rng(7)
+        b2 = {"RGB": jnp.asarray(rng2.standard_normal((B, N, H, W, 3)), jnp.float32)}
+        targets2 = {
+            "class": {
+                "verb": jnp.asarray(rng2.integers(0, 7, B)),
+                "noun": jnp.asarray(rng2.integers(0, 9, B)),
+            }
+        }
+
+        params = model.init(jax.random.key(0), b1, train=False)["params"]
+        tx_ms, _ = build_optimizer(cfg, params, ["RGB"])  # MultiSteps wrap
+        tx_raw, _ = build_optimizer(cfg, params, ["RGB"], accumulate=False)
+        state_ms = create_train_state(model, b1, tx_ms, jax.random.key(0))
+        state_f = create_train_state(model, b1, tx_raw, jax.random.key(0))
+
+        # sequential: two accumulate micro-steps; update applies on the 2nd
+        step = make_train_step(model, tx_ms, cfg, mesh)
+        rng = jax.random.key(3)
+        seq_losses = []
+        for bb, tt in [(b1, targets1), (b2, targets2)]:
+            state_ms, loss, _ = step(
+                state_ms, shard_batch(bb, mesh), shard_batch(tt, mesh),
+                rng, jnp.asarray(0), jnp.asarray(B, jnp.int32),
+            )
+            seq_losses.append(float(loss["total"]))
+
+        # fused: ONE call on the stacked group
+        fused = make_fused_accum_step(model, tx_raw, cfg, mesh)
+        batches = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]),
+            shard_batch(b1, mesh), shard_batch(b2, mesh),
+        )
+        targetss = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]),
+            shard_batch(targets1, mesh), shard_batch(targets2, mesh),
+        )
+        state_f, losses, preds = fused(
+            state_f, batches, targetss, rng, jnp.asarray(0), [B, B]
+        )
+
+        # per-group losses match the sequential micro-step losses (params
+        # did not move during accumulation; no dropout in this config)
+        np.testing.assert_allclose(
+            np.asarray(losses["total"]), seq_losses, rtol=2e-5
+        )
+        # BN running stats: composed EMA == two sequential updates. Two
+        # noise sources set the bound: the vmapped executable reassociates
+        # the E[x^2]-mean^2 batch-moment reductions (~4e-5 relative), and
+        # the compose step recovers s_i = (new_i - 0.9*old)/0.1, amplifying
+        # rounding ~10x. A composition BUG (wrong order/momentum) would be
+        # ~1e-2 here.
+        for a, b in zip(
+            jax.tree.leaves(state_f.batch_stats),
+            jax.tree.leaves(state_ms.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4
+            )
+        # params: one raw update on the mean grad == the MultiSteps k-th
+        # step (different executables; fp32 reassociation ~1e-4)
+        for a, b in zip(
+            jax.tree.leaves(state_f.params), jax.tree.leaves(state_ms.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    @pytest.mark.slow  # compiles the masked fused program
+    def test_fused_masked_group_matches_per_batch_loss(self):
+        from attention_based_tbn_tpu.parallel.train_step import (
+            make_fused_accum_step,
+        )
+
+        cfg = small_cfg(**{
+            "train.optim.accumulator_step": 2,
+            "tpu.compute_dtype": "float32",
+        })
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        mesh = make_mesh(cfg)
+        b1, targets1 = make_batch(b=B)
+        # group 2 is a padded batch: rows >= true_bs are garbage
+        true2 = B - 2
+        b2 = {
+            "RGB": b1["RGB"].at[true2:].set(
+                jnp.asarray(
+                    np.random.default_rng(9).standard_normal(
+                        (B - true2, N, H, W, 3)
+                    ) * 50.0,
+                    jnp.float32,
+                )
+            )
+        }
+        params = model.init(jax.random.key(0), b1, train=False)["params"]
+        tx_raw, _ = build_optimizer(cfg, params, ["RGB"], accumulate=False)
+        state = create_train_state(model, b1, tx_raw, jax.random.key(0))
+
+        step = make_train_step(model, tx_raw, cfg, mesh)
+        _, ref_loss, _ = step(
+            jax.tree.map(jnp.copy, state),
+            shard_batch(b2, mesh), shard_batch(targets1, mesh),
+            jax.random.key(3), jnp.asarray(0), jnp.asarray(true2, jnp.int32),
+        )
+
+        fused = make_fused_accum_step(model, tx_raw, cfg, mesh)
+        batches = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]),
+            shard_batch(b1, mesh), shard_batch(b2, mesh),
+        )
+        targetss = jax.tree.map(
+            lambda a, b: jnp.stack([a, b]),
+            shard_batch(targets1, mesh), shard_batch(targets1, mesh),
+        )
+        _, losses, _ = fused(
+            state, batches, targetss, jax.random.key(3), jnp.asarray(0),
+            [B, true2],
+        )
+        # group 2's masked loss must ignore the garbage pad rows and equal
+        # the per-batch masked step's loss on the same inputs
+        np.testing.assert_allclose(
+            float(losses["total"][1]), float(ref_loss["total"]), rtol=2e-5
+        )
