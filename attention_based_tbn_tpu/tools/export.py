@@ -8,9 +8,19 @@ codebase. For production serving this emits, into ``<out_dir>/export/``:
   portable exchange format any XLA-backed runtime (TPU/GPU/CPU serving
   stacks, IFRT) can compile;
 * ``params/`` — an Orbax checkpoint of the inference variables (optionally
-  cast to the serving dtype);
+  cast to the serving dtype, or weight-only int8-quantized);
 * ``manifest.json`` — input/output names, shapes, dtypes, and the config
   fingerprint needed to rebuild the exact preprocessing.
+
+``serving_dtype="int8"`` selects weight-only quantization: every conv /
+linear kernel is stored as symmetric per-output-channel int8 (+ one fp32
+scale per output channel), the exported module's parameter inputs are the
+quantized tree, and the dequantize (int8 -> fp32 multiply) is part of the
+lowered graph — XLA fuses it into the consuming conv's operand read, so
+serving weight HBM traffic is 4x smaller than fp32 (2x vs bf16). BN
+statistics, biases and all non-kernel leaves stay fp32 (accuracy claims are
+made on the fp32/bf16 paths; int8 is a deployment size/bandwidth mode —
+see VERDICT round-2 item 9).
 
 Usage::
 
@@ -30,6 +40,53 @@ from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+
+def _is_quantized_leaf(x) -> bool:
+    return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
+
+
+def quantize_int8(variables):
+    """Weight-only symmetric per-output-channel int8 quantization.
+
+    Every fp32 ``kernel`` leaf (all kernels in this model keep output
+    features on the LAST axis: HWIO convs, (in, out) dense) becomes
+    ``{"q": int8 kernel, "scale": fp32 (1, ..., 1, out)}`` with
+    ``scale = max|w| / 127`` per output channel. Everything else (BN
+    scale/bias/mean/var, conv biases, PE tables) is returned unchanged —
+    the BN inference fold needs fp32 statistics (see the bf16 note below).
+    """
+
+    def q(path, x):
+        is_kernel = path and getattr(path[-1], "key", None) == "kernel"
+        if not (
+            is_kernel
+            and hasattr(x, "dtype")
+            and x.dtype == jnp.float32
+            and x.ndim >= 2
+        ):
+            return x
+        axes = tuple(range(x.ndim - 1))
+        amax = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+        qv = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return {"q": qv, "scale": scale}
+
+    return jax.tree_util.tree_map_with_path(q, variables)
+
+
+def dequantize(qvariables):
+    """Inverse of :func:`quantize_int8` (up to rounding): rebuild a dense
+    fp32 variable tree. The exported int8 module embeds this in its graph;
+    this helper is for running the quantized checkpoint through
+    ``model.apply`` directly."""
+    return jax.tree_util.tree_map(
+        lambda x: (
+            x["q"].astype(jnp.float32) * x["scale"] if _is_quantized_leaf(x) else x
+        ),
+        qvariables,
+        is_leaf=_is_quantized_leaf,
+    )
 
 
 def _example_batch(cfg, modality: Sequence[str], batch_size: int, n_seg: int):
@@ -87,7 +144,15 @@ def export_inference(
             rngs, batch
         )
 
-    if serving_dtype:
+    if serving_dtype == "int8":
+        # Weight-only quantization: the saved params and the module's
+        # parameter inputs are the int8 tree; dequantize is in-graph.
+        variables = quantize_int8(variables)
+
+        def forward(variables, batch):
+            return model.apply(dequantize(variables), batch, train=False)
+
+    elif serving_dtype:
         # Cast only conv/linear kernels. BN scale/bias/mean/var (and conv
         # biases) stay fp32: the inference BN fold computes
         # rsqrt(var + eps); in bf16 var≈1 has ~2^-8 resolution, so eps=1e-5
@@ -102,8 +167,13 @@ def export_inference(
 
         variables = jax.tree_util.tree_map_with_path(cast, variables)
 
-    def forward(variables, batch):
-        return model.apply(variables, batch, train=False)
+        def forward(variables, batch):
+            return model.apply(variables, batch, train=False)
+
+    else:
+
+        def forward(variables, batch):
+            return model.apply(variables, batch, train=False)
 
     lowered = jax.jit(forward).lower(variables, batch)
     stablehlo = lowered.as_text(dialect="stablehlo")
@@ -135,6 +205,15 @@ def export_inference(
         "num_segments": n_seg,
         "batch_size": batch_size,
         "serving_dtype": serving_dtype or "float32",
+        "quantization": (
+            {
+                "scheme": "weight-only symmetric per-output-channel",
+                "bits": 8,
+                "dequantize": "in-graph (module inputs are the int8 tree)",
+            }
+            if serving_dtype == "int8"
+            else None
+        ),
         "arch": cfg.model.arch,
         "attention": dict(
             enable=bool(cfg.model.attention.enable),
@@ -166,7 +245,11 @@ def main():
 
     from ..config import load_config
     from ..utils.misc import get_modality
+    from ..utils.platform import apply_platform_overrides
 
+    # tpu.platform= / tpu.host_devices= must land before jax initializes
+    # (the tunneled TPU plugin ignores a JAX_PLATFORMS env override).
+    apply_platform_overrides(sys.argv[1:])
     cfg = load_config(overrides=sys.argv[1:])
     modality = get_modality(cfg)
 
@@ -181,7 +264,13 @@ def main():
 
         state = load_state(cfg, logger)
 
-    paths = export_inference(cfg, modality, state=state, logger=logger)
+    paths = export_inference(
+        cfg,
+        modality,
+        state=state,
+        serving_dtype=str(cfg.get_path("tpu.serving_dtype", "") or "") or None,
+        logger=logger,
+    )
     print(json.dumps(paths, indent=2))
 
 

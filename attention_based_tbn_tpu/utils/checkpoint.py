@@ -127,11 +127,23 @@ def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
     Restores the raw pytree (optimizer state included but returned as plain
     containers and ignored), so evaluation doesn't need to reconstruct the
     optimizer to match the saved structure.
+
+    Leaves come back as host numpy arrays, NOT device arrays with the
+    SAVED sharding: a template-free ``StandardCheckpointer.restore``
+    replays the checkpoint's device metadata and refuses when the current
+    topology differs — which is exactly the serving flow (train on an
+    8-device mesh, restore on one chip). Callers feed the tree straight
+    into jit'd ``model.apply``, which device-puts for the current
+    platform.
     """
     _finalize()
     path = os.path.abspath(path)
-    checkpointer = ocp.StandardCheckpointer()
-    tree = checkpointer.restore(path)
+    checkpointer = ocp.PyTreeCheckpointer()
+    meta = checkpointer.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+    )
+    tree = checkpointer.restore(path, restore_args=restore_args)
     params = tree["params"]
     batch_stats = tree.get("batch_stats", {})
 

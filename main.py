@@ -14,32 +14,12 @@ import numpy as np
 
 
 def _apply_platform_overrides(overrides):
-    """First-class platform selection, applied BEFORE jax initializes.
+    """See utils/platform.py — shared with the standalone tool CLIs."""
+    from attention_based_tbn_tpu.utils.platform import (
+        apply_platform_overrides,
+    )
 
-    ``tpu.platform=cpu`` (+ optional ``tpu.host_devices=8``) forces the CPU
-    backend with N virtual devices — needed because some PJRT plugins (the
-    tunneled TPU here) ignore a JAX_PLATFORMS environment override, so
-    env-only selection silently lands on the accelerator."""
-    import os
-
-    platform = None
-    host_devices = None
-    for item in overrides:
-        if item.startswith("tpu.platform="):
-            platform = item.split("=", 1)[1]
-        elif item.startswith("tpu.host_devices="):
-            host_devices = int(item.split("=", 1)[1])
-    if platform is None and host_devices is None:
-        return
-    if host_devices:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={host_devices}"
-        ).strip()
-    if platform:
-        import jax
-
-        jax.config.update("jax_platforms", platform)
+    apply_platform_overrides(overrides)
 
 
 def main(argv=None):

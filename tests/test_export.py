@@ -88,3 +88,71 @@ def test_export_inference_bundle(tmp_path):
     assert manifest["num_segments"] == 2
     assert os.path.isdir(paths["params"])
     assert len(manifest["stablehlo_sha256"]) == 64
+
+
+def test_export_int8_serving_mode(tmp_path):
+    """serving_dtype=int8: kernels stored int8+scale, dequantize in-graph,
+    logits within weight-only-quantization drift of the fp32 model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+    from attention_based_tbn_tpu.tools.export import (
+        dequantize,
+        export_inference,
+        quantize_int8,
+    )
+
+    cfg = load_config(
+        overrides=[
+            "model.attention.enable=False",
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+            "model.num_classes={verb: 5, noun: 7}",
+            "tpu.compute_dtype=float32",
+            f"out_dir={tmp_path}",
+        ]
+    )
+    paths = export_inference(
+        cfg, ["RGB"], batch_size=1, num_segments=2, serving_dtype="int8"
+    )
+    manifest = json.load(open(paths["manifest"]))
+    assert manifest["serving_dtype"] == "int8"
+    assert manifest["quantization"]["bits"] == 8
+
+    # the module's parameter inputs are the quantized tree: int8 kernels
+    # appear as i8 tensor types in the StableHLO text
+    module = open(paths["module"]).read()
+    assert "i8" in module
+
+    # round-trip numerics: quantize -> dequantize -> apply stays close to
+    # the fp32 model (per-channel symmetric int8 keeps |dw| <= scale/2 =
+    # max|w|/254 per weight)
+    spec = TBNSpec.from_config(cfg, ["RGB"])
+    model = TBNModel(spec)
+    batch = {
+        "RGB": jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (2, 2, 64, 64, 3)),
+            jnp.uint8,
+        )
+    }
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False)
+    )({"params": jax.random.key(0)}, batch)
+    ref = model.apply(variables, batch, train=False)
+    qvars = quantize_int8(variables)
+    # int8 kernels + fp32 scales actually present
+    kinds = {
+        np.dtype(x.dtype)
+        for x in jax.tree_util.tree_leaves(qvars)
+        if hasattr(x, "dtype")
+    }
+    assert np.dtype(np.int8) in kinds
+    got = model.apply(dequantize(qvars), batch, train=False)
+    for head in ("verb", "noun"):
+        r, g = np.asarray(ref[head]), np.asarray(got[head])
+        # drift bounded well below the logit spread; ranking preserved
+        assert np.max(np.abs(r - g)) < 0.05 * (np.std(r) + 1e-6) + 0.05
+        np.testing.assert_array_equal(r.argmax(-1), g.argmax(-1))
