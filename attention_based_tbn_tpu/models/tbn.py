@@ -263,9 +263,14 @@ class TBNModel(nn.Module):
         else:
             raise ValueError(f"Unknown arch {self.spec.arch!r}")
         if self.spec.remat:
-            # rematerialize the tower in the backward pass; the train flag
-            # (arg 2 incl. module) must stay static
-            cls = nn.remat(cls, static_argnums=(2,))
+            # rematerialize the tower in the backward pass. Static args
+            # (positional, module included): the train flag at index 2,
+            # plus BNInception's input_packed bool at index 6 — the call
+            # site passes the tower args POSITIONALLY because nn.remat's
+            # static_argnums cannot reach keyword args (a traced
+            # input_packed raises TracerBoolConversionError).
+            static = (2, 6) if cls is BNInception else (2,)
+            cls = nn.remat(cls, static_argnums=static)
         return cls(name=name, **kwargs)
 
     @nn.compact
@@ -334,12 +339,21 @@ class TBNModel(nn.Module):
                 )
 
             tower = self._make_tower(m)
-            # positional train flag: nn.remat static_argnums counts
-            # positional args ((module, x, train) -> index 2)
-            if norm_kw:
-                feature = tower(x, train, row_mask=row_mask, **norm_kw)
+            # all-positional tower call: nn.remat static_argnums counts
+            # positional args ((module, x, train, ...) -> train at 2,
+            # BNInception's input_packed at 6), so the static bools must
+            # not travel as keywords
+            if spec.arch == "bninception":
+                feature = tower(
+                    x if norm_kw else x.astype(dtype),
+                    train,
+                    row_mask,
+                    norm_kw.get("input_scale"),
+                    norm_kw.get("input_offset"),
+                    bool(norm_kw.get("input_packed", False)),
+                )
             else:
-                feature = tower(x.astype(dtype), train, row_mask=row_mask)
+                feature = tower(x.astype(dtype), train, row_mask)
 
             if m == "Audio":
                 feature = self._audio_feature(batch, features, feature, b, n, train)

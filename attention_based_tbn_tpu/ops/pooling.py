@@ -108,6 +108,16 @@ def _max_pool_fast_vjp(x, k, s, pads):
     stem pool alone materialized ~1.9 GB per tap and the step regressed
     44 → 148 ms. The gather form touches each input element once.)
 
+    MEASURED NEGATIVE on v5e, all formulations (train bench, 42.0 ms/step
+    select-and-scatter baseline): this gather form 58.4 ms (the s strided
+    phase slices and the final interleave are tiled-layout relayout
+    copies); a 6-D broadcast-phase form (``x.reshape(N, H/s, s, W/s, s,
+    C)`` + broadcast-compare, no slicing) 77.1 ms — the size-s dims land
+    in the 8-deep sublane tile and blow memory up ~8x; a 4-D
+    shift-then-``jnp.repeat`` upsample form 89.6 ms — the repeats
+    materialize full-input fp32 arrays per tap instead of fusing. XLA's
+    select-and-scatter keeps the default; the flag stays an A/B hook.
+
     DOCUMENTED DIVERGENCE from torch / select-and-scatter tie-breaking: on
     an exact tie every maximal position receives the window's gradient
     (torch routes it to one winner). Both are valid subgradients of max;
