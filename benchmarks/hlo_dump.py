@@ -42,7 +42,9 @@ def build_compiled(variant: str):
         ]
     )
     model = build(variant, cfg)
-    batch = make_batch(cfg)
+    # batch 10 = bench.py's lane-filling headline batch (matches
+    # trace_infer.py so trace<->HLO op names line up)
+    batch = make_batch(cfg, batch_size=10)
     rngs = {
         "params": jax.random.key(0),
         "dropout": jax.random.key(1),

@@ -14,7 +14,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(variant: str, outdir: str):
+def capture(variant: str, outdir: str, batch_size: int = 10):
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +29,8 @@ def capture(variant: str, outdir: str):
         ]
     )
     model = build(variant, cfg)
-    batch = make_batch(cfg)
+    # default 10 = bench.py's lane-filling headline batch
+    batch = make_batch(cfg, batch_size=batch_size)
 
     rngs = {
         "params": jax.random.key(0),
