@@ -178,6 +178,14 @@ def export_inference(
     lowered = jax.jit(forward).lower(variables, batch)
     stablehlo = lowered.as_text(dialect="stablehlo")
 
+    # The module's flat output order (pytree flatten of the forward's dict)
+    # — tools/serve.py labels the executable's result buffers with these.
+    out_struct = jax.eval_shape(forward, variables, batch)
+    output_names = [
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(out_struct)[0]
+    ]
+
     out_dir = out_dir or os.path.join(cfg.out_dir, "export")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -202,6 +210,10 @@ def export_inference(
             for k, v in batch.items()
         },
         "outputs": sorted(cfg.model.num_classes.keys()),
+        # flat result-buffer labels and the expected parameter-leaf count,
+        # for the module-direct executor (tools/serve.py)
+        "output_names": output_names,
+        "param_leaf_count": len(jax.tree_util.tree_leaves(variables)),
         "num_segments": n_seg,
         "batch_size": batch_size,
         "serving_dtype": serving_dtype or "float32",

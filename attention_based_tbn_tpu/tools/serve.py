@@ -1,0 +1,262 @@
+"""Serve an exported inference bundle — module-direct, no model code.
+
+The counterpart of a production serving stack for the bundles written by
+``tools/export.py``: the saved StableHLO module is compiled by the local
+PJRT client (TPU/CPU — any XLA backend) and driven directly, so serving
+needs neither the Flax model definition nor the training config. The
+reference repo has no serving story (its ``test.py`` rebuilds the torch
+model per run, core/tools/test.py:33-170); this closes the gap TPU-first:
+one executable, parameters resident on device, steady-state latency =
+device time.
+
+Usage::
+
+    # one-shot latency benchmark on synthetic manifest-shaped inputs
+    python -m attention_based_tbn_tpu.tools.serve <bundle_dir> --bench 30
+
+    # HTTP server (stdlib only): POST an .npz body of the input arrays
+    python -m attention_based_tbn_tpu.tools.serve <bundle_dir> --port 8080
+
+    curl -s -X POST --data-binary @batch.npz localhost:8080/predict > out.npz
+    curl -s localhost:8080/healthz
+
+The ``.npz`` request must contain one array per manifest input (same
+names/shapes/dtypes); the response ``.npz`` holds one array per manifest
+output name.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ServingModel:
+    """Compiled export bundle: params resident on device, predict() runs
+    the StableHLO module on a batch of numpy inputs."""
+
+    def __init__(self, bundle_dir: str, platform: Optional[str] = None):
+        import jax
+
+        if platform:
+            jax.config.update("jax_platforms", platform)
+        import orbax.checkpoint as ocp
+
+        bundle_dir = os.path.abspath(bundle_dir)
+        with open(os.path.join(bundle_dir, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        with open(os.path.join(bundle_dir, "module.stablehlo.mlir")) as fh:
+            module = fh.read()
+
+        ckptr = ocp.PyTreeCheckpointer()
+        params_path = os.path.join(bundle_dir, "params")
+        meta = ckptr.metadata(params_path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        variables = ckptr.restore(params_path, restore_args=restore_args)
+        param_leaves = jax.tree_util.tree_leaves(variables)
+        want = self.manifest.get("param_leaf_count")
+        if want is not None and want != len(param_leaves):
+            raise ValueError(
+                f"bundle params have {len(param_leaves)} leaves, manifest "
+                f"says {want} — params/ and module.stablehlo.mlir disagree"
+            )
+
+        self._client = jax.extend.backend.get_backend()
+        self._device = self._client.devices()[0]
+        self._executable = _compile(self._client, module, self._device)
+        # parameters transfer once; every predict() only moves the batch
+        self._param_bufs = [
+            self._client.buffer_from_pyval(np.asarray(a), self._device)
+            for a in param_leaves
+        ]
+        self._input_specs = {
+            k: (tuple(v["shape"]), np.dtype(v["dtype"]))
+            for k, v in self.manifest["inputs"].items()
+        }
+        self._output_names = self.manifest.get("output_names") or list(
+            self.manifest["outputs"]
+        )
+
+    @property
+    def platform(self) -> str:
+        return self._client.platform
+
+    def example_batch(self, seed: int = 0) -> Dict[str, np.ndarray]:
+        """Synthetic manifest-shaped inputs (for --bench and smoke tests)."""
+        rng = np.random.default_rng(seed)
+        batch = {}
+        for name, (shape, dtype) in self._input_specs.items():
+            if dtype == np.uint8:
+                batch[name] = rng.integers(0, 255, shape).astype(np.uint8)
+            else:
+                batch[name] = (rng.standard_normal(shape) * 0.1).astype(dtype)
+        return batch
+
+    def _check(self, batch: Dict[str, np.ndarray]) -> List[np.ndarray]:
+        if set(batch) != set(self._input_specs):
+            raise ValueError(
+                f"inputs {sorted(batch)} != manifest {sorted(self._input_specs)}"
+            )
+        leaves = []
+        for name in sorted(batch):  # pytree dict order = sorted keys
+            shape, dtype = self._input_specs[name]
+            arr = np.asarray(batch[name])
+            if arr.shape != shape or arr.dtype != dtype:
+                raise ValueError(
+                    f"input {name!r}: got {arr.dtype}{list(arr.shape)}, "
+                    f"module compiled for {dtype}{list(shape)}"
+                )
+            leaves.append(arr)
+        return leaves
+
+    def predict(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        leaves = self._check(batch)
+        bufs = self._param_bufs + [
+            self._client.buffer_from_pyval(a, self._device) for a in leaves
+        ]
+        outs = _execute(self._executable, bufs)
+        arrays = [np.asarray(o) for o in outs]
+        if len(arrays) != len(self._output_names):
+            # older manifests without output_names: label extras aux_<i>
+            names = list(self._output_names) + [
+                f"aux_{i}" for i in range(len(arrays) - len(self._output_names))
+            ]
+        else:
+            names = self._output_names
+        return dict(zip(names, arrays))
+
+
+def _compile(client, module: str, device):
+    """Compile MLIR text with the PJRT client across jaxlib API flavors.
+
+    Compiles for exactly ONE device — the module is a single-replica
+    inference graph; handing the whole client device list (e.g. the
+    8-virtual-CPU test mesh) would build an 8-replica executable that
+    demands 8 shards per argument."""
+    try:
+        from jaxlib import _jax
+
+        opts = _jax.CompileOptions()
+    except Exception:  # pragma: no cover - very old jaxlib
+        opts = None
+    if hasattr(client, "compile_and_load"):
+        return client.compile_and_load(module, [device], opts)
+    return client.compile(module)  # pragma: no cover - older jaxlib
+
+
+def _execute(executable, bufs):
+    outs = executable.execute(bufs)
+    # some PJRT clients return per-device lists
+    if outs and isinstance(outs[0], (list, tuple)):  # pragma: no cover
+        outs = outs[0]
+    return outs
+
+
+def _npz_bytes(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_server(model: ServingModel, port: int):
+    """stdlib HTTP server: POST /predict (.npz body) -> .npz response."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                info = {
+                    "status": "ok",
+                    "platform": model.platform,
+                    "inputs": model.manifest["inputs"],
+                    "outputs": model.manifest["outputs"],
+                    "serving_dtype": model.manifest.get("serving_dtype"),
+                }
+                self._send(200, json.dumps(info).encode(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                with np.load(io.BytesIO(body)) as data:
+                    batch = {k: data[k] for k in data.files}
+                preds = model.predict(batch)
+            except Exception as exc:  # surface shape/dtype errors to caller
+                self._send(400, str(exc).encode(), "text/plain")
+                return
+            self._send(200, _npz_bytes(preds), "application/octet-stream")
+
+    return ThreadingHTTPServer(("", port), Handler)
+
+
+def bench(model: ServingModel, iters: int) -> Dict:
+    batch = model.example_batch()
+    model.predict(batch)  # warm (compile cache is already hot; transfers)
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        model.predict(batch)
+        times.append(time.perf_counter() - start)
+    times.sort()
+    bs = int(self_bs) if (self_bs := model.manifest.get("batch_size")) else 1
+    return {
+        "metric": "serve_latency_ms",
+        "p50": round(times[len(times) // 2] * 1e3, 2),
+        "p95": round(times[int(len(times) * 0.95)] * 1e3, 2),
+        "clips_per_sec": round(bs / (sum(times) / len(times)), 1),
+        "batch_size": bs,
+        "iters": iters,
+        "platform": model.platform,
+        "serving_dtype": model.manifest.get("serving_dtype"),
+    }
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("bundle", help="export bundle dir (tools/export.py)")
+    parser.add_argument("--port", type=int, default=0, help="HTTP port")
+    parser.add_argument("--bench", type=int, default=0, help="latency iters")
+    parser.add_argument(
+        "--platform", default=None, help="jax platform override (cpu/tpu)"
+    )
+    args = parser.parse_args()
+
+    model = ServingModel(args.bundle, platform=args.platform)
+    if args.bench:
+        print(json.dumps(bench(model, args.bench)))
+    if args.port:
+        server = make_server(model, args.port)
+        print(
+            json.dumps(
+                {"serving": args.bundle, "port": args.port, "platform": model.platform}
+            )
+        )
+        server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""tools/serve.py: module-direct serving of an export bundle.
+
+The executor must reproduce the source model's logits exactly (same
+compiled graph, same params) and round-trip over the stdlib HTTP server.
+"""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from attention_based_tbn_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    """A tiny exported bundle + the live model/variables that produced it."""
+    import jax
+    import jax.numpy as jnp
+
+    from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+    from attention_based_tbn_tpu.tools.export import export_inference
+
+    tmp = tmp_path_factory.mktemp("serve_bundle")
+    cfg = load_config(
+        overrides=[
+            "model.attention.enable=False",
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+            "model.num_classes={verb: 5, noun: 7}",
+            "tpu.compute_dtype=float32",
+            f"out_dir={tmp}",
+        ]
+    )
+    paths = export_inference(cfg, ["RGB"], batch_size=2, num_segments=2)
+    spec = TBNSpec.from_config(cfg, ["RGB"])
+    model = TBNModel(spec)
+    batch = {
+        "RGB": jnp.asarray(
+            np.random.default_rng(3).integers(0, 255, (2, 2, 64, 64, 3)),
+            jnp.uint8,
+        )
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.key(0)}, batch
+    )
+    return paths, cfg, model, variables
+
+
+def test_serving_model_matches_source_logits(bundle):
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    paths, cfg, model, variables = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    batch = sm.example_batch(seed=11)
+    got = sm.predict(batch)
+
+    # the exported params come from a fresh init inside export_inference
+    # with the same seed/config as `variables`, so model.apply IS the
+    # ground truth for the module-direct executor
+    want = model.apply(variables, batch, train=False)
+    for head in ("verb", "noun"):
+        np.testing.assert_allclose(
+            got[head], np.asarray(want[head]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_serving_model_validates_inputs(bundle):
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    paths, *_ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    batch = sm.example_batch()
+    with pytest.raises(ValueError, match="compiled for"):
+        bad = {"RGB": batch["RGB"][:1]}  # wrong batch size
+        sm.predict(bad)
+    with pytest.raises(ValueError, match="manifest"):
+        sm.predict({"Flow": batch["RGB"]})
+
+
+def test_http_round_trip(bundle):
+    import io
+    import os
+    import urllib.request
+
+    from attention_based_tbn_tpu.tools.serve import (
+        ServingModel,
+        _npz_bytes,
+        make_server,
+    )
+
+    paths, *_ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    server = make_server(sm, 0)  # ephemeral port
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert set(health["inputs"]) == {"RGB"}
+
+        batch = sm.example_batch(seed=4)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=_npz_bytes(batch),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = resp.read()
+        with np.load(io.BytesIO(payload)) as data:
+            preds = {k: data[k] for k in data.files}
+        want = sm.predict(batch)
+        for key, value in want.items():
+            np.testing.assert_array_equal(preds[key], value)
+
+        # malformed request -> 400, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"junk", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as err:
+            assert err.code == 400
+    finally:
+        server.shutdown()
