@@ -18,6 +18,7 @@ resolve via ``jnp.where``.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Mapping, Optional
 
 import jax
@@ -35,16 +36,9 @@ def _row_mean(values: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     mask = mask.astype(jnp.float32)
     shaped = mask.reshape(mask.shape + (1,) * (values.ndim - 1))
     denom = jnp.maximum(jnp.sum(mask), 1.0) * float(
-        np_prod(values.shape[1:])
+        math.prod(values.shape[1:])
     )
     return jnp.sum(values * shaped) / denom
-
-
-def np_prod(shape) -> int:
-    out = 1
-    for s in shape:
-        out *= int(s)
-    return out
 
 
 def cross_entropy(
@@ -108,7 +102,7 @@ def kl_div(
     if reduction == "sum":
         return jnp.sum(pointwise)
     if mask is not None:
-        return jnp.sum(pointwise) / (rows * np_prod(log_pred.shape[1:]))
+        return jnp.sum(pointwise) / (rows * math.prod(log_pred.shape[1:]))
     return jnp.mean(pointwise)
 
 

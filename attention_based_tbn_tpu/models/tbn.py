@@ -323,6 +323,14 @@ class TBNModel(nn.Module):
                 # input chain costs one fused normalize instead of ~3 ms
                 # of reshape/relayout copies (data/loader.py pack_visual).
                 base_ch = 3 if m == "RGB" else 2 * spec.flow_win_length
+                if x.shape[-1] == 2 * base_ch and spec.direct_stem:
+                    # direct-stem A/B with a host-packed stream: unpack
+                    # (B*N, H, W/2, 2C) -> (B*N, H, W, C) — a pure view in
+                    # (..., W, C) memory order — so the direct 7x7 conv
+                    # sees the real image (otherwise input_packed would
+                    # silently override the A/B and both arms measure the
+                    # packed stem)
+                    x = x.reshape(x.shape[:-2] + (x.shape[-2] * 2, base_ch))
                 norm_kw = self._norm_affine(m, x.shape[-1])
                 if x.shape[-1] == 2 * base_ch:
                     norm_kw["input_packed"] = True

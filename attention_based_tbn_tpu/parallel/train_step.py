@@ -184,7 +184,12 @@ def _compose_group_ema(old_stats, group_stats, momentum: float, groups: int):
     reference applies its G micro-batch updates sequentially
     (core/tools/train.py:69-94 runs G separate forwards); recover each
     group's batch statistic ``s_i`` and re-apply the updates in order —
-    exact, and O(G * num_channels) work."""
+    exact, and O(G * num_channels) work.
+
+    ``momentum`` must be the momentum EVERY BatchNorm in the model used
+    (the recovery divides by it); TBN sets layers.BN_MOMENTUM globally
+    and TBNModel never overrides the per-module field. A model mixing
+    momenta cannot use the fused-accumulation path."""
 
     def leaf(old, new_g):
         s = (new_g - (1.0 - momentum) * old[None]) / momentum

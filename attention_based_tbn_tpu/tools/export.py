@@ -144,12 +144,15 @@ def export_inference(
             rngs, batch
         )
 
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+
     if serving_dtype == "int8":
         # Weight-only quantization: the saved params and the module's
         # parameter inputs are the int8 tree; dequantize is in-graph.
         variables = quantize_int8(variables)
 
-        def forward(variables, batch):
+        def forward(variables, batch):  # noqa: F811 — int8 overrides
             return model.apply(dequantize(variables), batch, train=False)
 
     elif serving_dtype:
@@ -166,14 +169,6 @@ def export_inference(
             return x
 
         variables = jax.tree_util.tree_map_with_path(cast, variables)
-
-        def forward(variables, batch):
-            return model.apply(variables, batch, train=False)
-
-    else:
-
-        def forward(variables, batch):
-            return model.apply(variables, batch, train=False)
 
     lowered = jax.jit(forward).lower(variables, batch)
     stablehlo = lowered.as_text(dialect="stablehlo")

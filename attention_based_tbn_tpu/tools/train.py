@@ -137,7 +137,10 @@ def train_one_epoch(
     # accumulator across epochs — PARITY.md).
     fused_fn, accum_k = fused_step if fused_step else (None, 1)
 
-    def flush_fused():
+    def flush_group(fn, with_true_bs):
+        """Stack the queued batches, run ONE grouped executable, and feed
+        the per-element results through after_step (shared by the fused
+        and the scanned multi-step paths)."""
         nonlocal state
         if not pending:
             return
@@ -148,14 +151,26 @@ def train_one_epoch(
         targetss = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[p[1] for p in pending]
         )
-        true_bss = [p[2] for p in pending]
-        state, losses, predss = fused_fn(
-            state, batches, targetss, rng, epoch_dev, true_bss
-        )
+        args = (state, batches, targetss, rng, epoch_dev)
+        if with_true_bs:
+            args += ([p[2] for p in pending],)
+        state, losses, predss = fn(*args)
         per = (time.perf_counter() - step_start) / len(pending)
         for i, (_, tgt, b) in enumerate(pending):
             loss_i, preds_i = jax.tree.map(lambda x: x[i], (losses, predss))
             after_step(loss_i, preds_i, tgt, b, per)
+        pending.clear()
+
+    def drain_sequential():
+        nonlocal state
+        for qbatch, qtargets, qbs in pending:
+            step_start = time.perf_counter()
+            state, loss, preds = step_fn(
+                state, qbatch, qtargets, rng, epoch_dev, qbs
+            )
+            after_step(
+                loss, preds, qtargets, qbs, time.perf_counter() - step_start
+            )
         pending.clear()
 
     loader.set_epoch(epoch)
@@ -167,40 +182,20 @@ def train_one_epoch(
                 v.shape[0] for v in pending[0][0].values()
                 if hasattr(v, "shape")
             ):
-                flush_fused()  # shape change (padded tail): close the group
+                # shape change (padded tail): close the group
+                flush_group(fused_fn, with_true_bs=True)
             pending.append((batch, targets, bs))
             if len(pending) == accum_k:
-                flush_fused()
+                flush_group(fused_fn, with_true_bs=True)
             continue
         if multi_fn is not None and bs == rows:
             pending.append((batch, targets, bs))
             if len(pending) == group_len:
-                step_start = time.perf_counter()
-                batches = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[p[0] for p in pending]
-                )
-                targetss = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *[p[1] for p in pending]
-                )
-                state, losses, predss = multi_fn(
-                    state, batches, targetss, rng, epoch_dev
-                )
-                per = (time.perf_counter() - step_start) / group_len
-                for i, (_, tgt, b) in enumerate(pending):
-                    step_i = jax.tree.map(lambda x: x[i], (losses, predss))
-                    after_step(step_i[0], step_i[1], tgt, b, per)
-                pending.clear()
+                flush_group(multi_fn, with_true_bs=False)
             continue
         # ragged batch (or multi-step disabled): drain any queued full
         # batches one by one, then run this one through the dispatcher
-        for qbatch, qtargets, qbs in pending:
-            step_start = time.perf_counter()
-            state, loss, preds = step_fn(
-                state, qbatch, qtargets, rng, epoch_dev, qbs
-            )
-            after_step(loss, preds, qtargets, qbs,
-                       time.perf_counter() - step_start)
-        pending.clear()
+        drain_sequential()
         step_start = time.perf_counter()
         state, loss, preds = step_fn(
             state, batch, targets, rng, epoch_dev, bs
@@ -208,17 +203,9 @@ def train_one_epoch(
         after_step(loss, preds, targets, bs, time.perf_counter() - step_start)
 
     if fused_fn is not None:
-        flush_fused()  # ragged final group: smaller-G program
+        flush_group(fused_fn, with_true_bs=True)  # ragged final group
     else:
-        for qbatch, qtargets, qbs in pending:
-            step_start = time.perf_counter()
-            state, loss, preds = step_fn(
-                state, qbatch, qtargets, rng, epoch_dev, qbs
-            )
-            after_step(
-                loss, preds, qtargets, qbs, time.perf_counter() - step_start
-            )
-        pending.clear()
+        drain_sequential()
 
     if profiling:
         jax.profiler.stop_trace()

@@ -389,6 +389,44 @@ class TestHostPackedVisualInput:
                 atol=1e-6,
             )
 
+    def test_direct_stem_unpacks_packed_input(self):
+        """tpu.direct_stem=True with a host-packed stream must UNPACK and
+        run the direct 7x7 conv (regression: input_packed auto-detect
+        silently overrode the direct-stem A/B, so both arms measured the
+        packed stem). Same params, same logits as the unpacked input."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from attention_based_tbn_tpu.config import load_config
+        from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec
+
+        cfg = load_config(
+            overrides=[
+                "model.attention.enable=False",
+                "model.num_classes={verb: 5, noun: 6}",
+                "tpu.compute_dtype=float32",
+                "tpu.direct_stem=True",
+            ]
+        )
+        rng = np.random.default_rng(0)
+        b, n, hw = 2, 2, 32
+        rgb = rng.integers(0, 255, (b, n, hw, hw, 3)).astype(np.uint8)
+
+        model = TBNModel(TBNSpec.from_config(cfg, ["RGB"]))
+        plain = {"RGB": jnp.asarray(rgb)}
+        packed = {"RGB": jnp.asarray(rgb.reshape(b, n, hw, hw // 2, 6))}
+        variables = model.init(jax.random.key(0), plain, train=False)
+        out_plain = model.apply(variables, plain, train=False)
+        out_packed = model.apply(variables, packed, train=False)
+        for key in ("verb", "noun"):
+            np.testing.assert_allclose(
+                np.asarray(out_plain[key]),
+                np.asarray(out_packed[key]),
+                rtol=1e-6,
+                atol=1e-6,
+            )
+
     def test_packed_train_step_shapes(self):
         """The packed input also works on the train path (live BN +
         backward through the packed stem)."""
