@@ -31,12 +31,20 @@ def measure(model, batch, iters=40):
         "audio_dropout": jax.random.key(3),
     }
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
+    if getattr(model.spec, "quantize", "") == "int8":
+        # populate quant_stats with the calibrated per-conv-site scales
+        from attention_based_tbn_tpu.models.tbn import calibrate_quantization
+
+        variables = calibrate_quantization(model.spec, variables, [batch])
+    quant_stats = variables.get("quant_stats")
     variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32
         else x,
         variables,
     )
+    if quant_stats is not None:
+        variables = {**variables, "quant_stats": quant_stats}  # keep fp32
 
     @jax.jit
     def forward(variables, batch, dep):
@@ -103,6 +111,10 @@ def build(variant, cfg):
     }
     if "fastcons" in variant:
         overrides["fast_consensus"] = True
+    if "int8q" in variant:
+        # post-training int8 compute quantization (tpu.quantize=int8);
+        # calibration runs before the timed loop (see measure)
+        overrides["quantize"] = "int8"
     if variant.startswith("baseline"):
         overrides["merge_inception"] = False
     spec = TBNSpec.from_config(cfg, ["RGB", "Flow", "Audio"])
