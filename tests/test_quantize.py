@@ -126,6 +126,56 @@ class TestQuantizedForward:
         assert np.isfinite(np.asarray(out["verb"], np.float32)).all()
 
 
+class TestTriModal:
+    def test_flagship_quantized_forward(self):
+        """RGB+Flow+Audio MHA model: calibrate then quantize; the audio
+        tower's freq-pool head and every block's pool-proj site run s8."""
+        rng = np.random.default_rng(3)
+        spec = _spec(
+            modality=("RGB", "Flow", "Audio"),
+            attention_enable=True,
+            attention_type="mha",
+            attn_win=8,  # audio_length 1.279 s anchor
+        )
+        model = TBNModel(spec)
+        audio_len = int(1.279 * spec.sampling_rate)
+        batch = {
+            "RGB": jnp.asarray(
+                rng.integers(0, 255, (2, 2, 64, 64, 3)), jnp.uint8
+            ),
+            "Flow": jnp.asarray(
+                rng.integers(0, 255, (2, 2, 64, 64, 10)), jnp.uint8
+            ),
+            "Audio": jnp.asarray(
+                rng.standard_normal((2, 2, audio_len)) * 0.1, jnp.float32
+            ),
+        }
+        rngs = {"params": jax.random.key(0)}
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            rngs, batch
+        )
+        out_ref = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+            variables, batch
+        )
+        variables = calibrate_quantization(spec, variables, [batch])
+        # three towers x 42 sites
+        assert (
+            len(jax.tree_util.tree_leaves(variables["quant_stats"])) == 126
+        )
+        qmodel = TBNModel(dataclasses.replace(spec, quantize="int8"))
+        out_q = jax.jit(lambda v, b: qmodel.apply(v, b, train=False))(
+            variables, batch
+        )
+        for key in ("verb", "noun"):
+            a = np.asarray(out_ref[key], np.float32)
+            b = np.asarray(out_q[key], np.float32)
+            rel = np.sqrt(np.mean((a - b) ** 2)) / (
+                np.sqrt(np.mean(a**2)) + 1e-12
+            )
+            assert rel < 0.2, f"{key}: rel rmse {rel}"
+            assert np.isfinite(b).all()
+
+
 class TestValidation:
     def test_rejects_non_bninception(self):
         with pytest.raises(ValueError, match="bninception"):
