@@ -29,6 +29,18 @@ def build_model(cfg, modality: List[str]) -> Tuple[TBNModel, TBNSpec]:
 
     spec = TBNSpec.from_config(cfg, modality)
     spec.validate()
+    if spec.quantize:
+        # The train/test/export drivers run the fp32/bf16 parity paths;
+        # quantized inference needs a calibration pass that populates a
+        # quant_stats collection the SPMD step functions do not carry
+        # (and it measured NEGATIVE on v5e — PERF.md round 3). Fail fast
+        # instead of crashing later on the missing collection.
+        raise ValueError(
+            "tpu.quantize is an opt-in serving mode, not a driver mode: "
+            "build the model directly and calibrate via "
+            "models.tbn.calibrate_quantization (see benchmarks/infer_ab.py "
+            "int8q variant); unset tpu.quantize for train/test/export"
+        )
     return TBNModel(spec), spec
 
 

@@ -195,3 +195,15 @@ class TestValidation:
         cfg = load_config(overrides=["tpu.quantize=int8"])
         spec = TBNSpec.from_config(cfg, ["RGB", "Flow", "Audio"])
         assert spec.quantize == "int8"
+
+    def test_drivers_fail_fast(self):
+        """build_model (trainer/tester/export path) rejects tpu.quantize:
+        the SPMD step functions carry no quant_stats collection, so the
+        mode is API-only (calibrate_quantization) — clear error beats a
+        missing-collection crash mid-run."""
+        from attention_based_tbn_tpu.config import load_config
+        from attention_based_tbn_tpu.models.builder import build_model
+
+        cfg = load_config(overrides=["tpu.quantize=int8"])
+        with pytest.raises(ValueError, match="calibrate_quantization"):
+            build_model(cfg, ["RGB", "Flow", "Audio"])
