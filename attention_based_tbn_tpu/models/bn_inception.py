@@ -48,7 +48,7 @@ from .layers import (
     ConvBNParams,
     FoldedConvBN,
     conv2d_apply,
-    conv2d_apply_q,
+    route_qconv,
 )
 
 Dtype = Any
@@ -118,21 +118,11 @@ class InceptionBlock(nn.Module):
     quantize: str = ""
 
     def _qconv(self, x, kernel, bias, stride, padding, amax_var):
-        """Route one eval conv through the active quantization mode.
-
-        calibrate: record amax(|x|) into ``amax_var`` and run the exact
-        bf16/fp32 conv; int8: quantized conv with the recorded scale;
-        off: plain conv2d_apply."""
-        if self.quantize == "int8":
-            x_scale = jnp.maximum(amax_var.value, 1e-6) / 127.0
-            return conv2d_apply_q(
-                x, kernel, bias, stride, padding, self.dtype, x_scale
-            )
-        if self.quantize == "calibrate" and not self.is_initializing():
-            amax_var.value = jnp.maximum(
-                amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
-            )
-        return conv2d_apply(x, kernel, bias, stride, padding, self.dtype)
+        """One conv site through the active quantization mode
+        (layers.route_qconv: calibrate records, int8 quantizes)."""
+        return route_qconv(
+            self.quantize, x, kernel, bias, stride, padding, self.dtype, amax_var
+        )
 
     def _amax(self, name: str):
         return self.variable(
@@ -369,11 +359,17 @@ class InceptionBlock(nn.Module):
         kd2 = FoldedConvBN(s.d3x3, 3, name="double_3x3_2")(s.d3x3)
         kproj = FoldedConvBN(s.proj, 1, name="pool_proj")(in_ch) if s.proj else None
 
-        # per-conv-site calibrated input scales (created in every quantize
-        # mode so the quant_stats tree is mode-independent). The max-pool
-        # branch's proj reuses in_amax: a 3x3/s1 max pool covers every
-        # element, so amax(pooled) == amax(x) exactly.
-        q = bool(self.quantize) and self.merge_1x1
+        # per-conv-site calibrated input scales. NOT declared at init:
+        # quant_stats exists only after a calibration pass, so an
+        # uncalibrated int8 apply fails with a clear missing-collection
+        # error instead of computing garbage with amax=0 (route_qconv).
+        # The max-pool branch's proj reuses in_amax: a 3x3/s1 max pool
+        # covers every element, so amax(pooled) == amax(x) exactly.
+        q = (
+            bool(self.quantize)
+            and self.merge_1x1
+            and not self.is_initializing()
+        )
         if q:
             in_amax = self._amax("in_amax")
             r3_amax = self._amax("r3_amax")

@@ -68,9 +68,12 @@ def conv2d_apply_q(
     a calibration pass into the ``quant_stats`` collection), the folded
     fp32 kernel symmetrically per output channel, and the s8 conv
     accumulates in int32 on the MXU's double-rate int8 path (v5e: 394 vs
-    197 bf16 TOPS; int8 activations also halve the HBM bytes of
-    bandwidth-bound passes). The dequantize (int32 * (s_x * s_k[o]) + bias)
-    fuses into the consumer's bias/ReLU epilogue.
+    197 bf16 TOPS). The dequantize (int32 * (s_x * s_k[o]) + bias) is
+    written to fuse into a conv epilogue, but whether it DOES is
+    backend-dependent: on the current v5e XLA stack NO epilogue fuses
+    into an s8 convolution — the int32 output materializes in HBM and
+    the mode measured NEGATIVE in-model (128.3 vs 211.0 clips/s; PERF.md
+    round 3, benchmarks/int8_probe2.py). Opt-in for backends that fuse.
 
     Quantizing the KERNEL in-graph costs only parameter-sized work (the
     folded kernels are already recomputed per call from fp32 masters) and
@@ -94,6 +97,38 @@ def conv2d_apply_q(
     if bias is not None:
         y = y + bias
     return y.astype(dtype)
+
+
+def route_qconv(
+    mode: str,
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: IntPair,
+    padding: IntPair,
+    dtype: Dtype,
+    amax_var,
+) -> jnp.ndarray:
+    """One quantized conv site: record or quantize, then convolve.
+
+    The single source of truth for the calibrate/int8 dispatch shared by
+    ConvBN and InceptionBlock: ``calibrate`` records amax(|x|) into
+    ``amax_var`` (running max across batches) and runs the exact conv;
+    ``int8`` runs :func:`conv2d_apply_q` with the recorded scale
+    (max(amax, 1e-6)/127). Callers own the variable declaration (flax
+    scoping) and must NOT declare it during init — quant_stats exists
+    only after a calibration pass, so an uncalibrated int8 apply fails
+    with a clear missing-collection error instead of computing garbage
+    with amax=0.
+    """
+    if mode == "int8":
+        x_scale = jnp.maximum(amax_var.value, 1e-6) / 127.0
+        return conv2d_apply_q(x, kernel, bias, stride, padding, dtype, x_scale)
+    assert mode == "calibrate", mode
+    amax_var.value = jnp.maximum(
+        amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+    )
+    return conv2d_apply(x, kernel, bias, stride, padding, dtype)
 
 
 class TorchConv(nn.Module):
@@ -510,6 +545,9 @@ class ConvBN(nn.Module):
             and input_scale is None
             and not input_packed
             and not self.space_to_depth
+            # no quant_stats at init: calibration creates the collection,
+            # so an uncalibrated int8 apply fails loudly (route_qconv)
+            and not self.is_initializing()
         ) else ""
         if not quantize:
             # the quantized path declares the same "conv" tree via
@@ -538,17 +576,9 @@ class ConvBN(nn.Module):
             amax = self.variable(
                 "quant_stats", "amax", lambda: jnp.zeros((), jnp.float32)
             )
-            if quantize == "calibrate":
-                if not self.is_initializing():
-                    amax.value = jnp.maximum(
-                        amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
-                    )
-                y = conv2d_apply(x, kf, bf, self.stride, self.padding, self.dtype)
-            else:
-                x_scale = jnp.maximum(amax.value, 1e-6) / 127.0
-                y = conv2d_apply_q(
-                    x, kf, bf, self.stride, self.padding, self.dtype, x_scale
-                )
+            y = route_qconv(
+                quantize, x, kf, bf, self.stride, self.padding, self.dtype, amax
+            )
         elif not train:
             scale, bias, mean, var = BNParams(self.features, name="bn")()
             fold_scale = jax.lax.rsqrt(var.value + self.bn_epsilon) * scale

@@ -567,6 +567,20 @@ def calibrate_quantization(spec: TBNSpec, variables, batches) -> dict:
         )
         return mutated["quant_stats"]
 
+    batches = list(batches)
+    if not batches:
+        raise ValueError("calibration needs at least one batch")
+    if "quant_stats" not in variables:
+        # seed zeroed quant_stats abstractly so every step() call sees the
+        # same pytree structure — otherwise the first (stats-absent) call
+        # and the rest compile two separate flagship programs
+        shapes = jax.eval_shape(step, variables, batches[0])
+        variables = {
+            **variables,
+            "quant_stats": jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            ),
+        }
     for batch in batches:
         stats = step(variables, batch)
         variables = {**variables, "quant_stats": stats}

@@ -67,15 +67,32 @@ class TestCalibration:
         }
         assert all(float(v) > 0.0 for v in leaves)
 
-    def test_amax_monotone_across_batches(self, calibrated):
+    def test_amax_is_a_running_max(self, calibrated):
         spec, variables, batch, _ = calibrated
-        # a second calibration pass on 4x-louder inputs can only raise amax
-        big = {"RGB": batch["RGB"]}  # same uint8 image, but scale the model
-        before = jax.tree_util.tree_leaves(variables["quant_stats"])
-        again = calibrate_quantization(spec, variables, [big])
-        after = jax.tree_util.tree_leaves(again["quant_stats"])
-        for b, a in zip(before, after):
-            assert float(a) >= float(b) - 1e-6
+        observed = variables["quant_stats"]
+        # re-calibrating from zeroed stats reproduces the observed maxima
+        zeroed = {
+            **variables,
+            "quant_stats": jax.tree.map(jnp.zeros_like, observed),
+        }
+        redone = calibrate_quantization(spec, zeroed, [batch])
+        for o, r in zip(
+            jax.tree_util.tree_leaves(observed),
+            jax.tree_util.tree_leaves(redone["quant_stats"]),
+        ):
+            np.testing.assert_allclose(float(r), float(o), rtol=1e-6)
+        # pre-existing LARGER maxima survive (max-merge, not overwrite)
+        huge = {
+            **variables,
+            "quant_stats": jax.tree.map(
+                lambda x: jnp.full_like(x, 1e9), observed
+            ),
+        }
+        kept = calibrate_quantization(spec, huge, [batch])
+        assert all(
+            float(v) == 1e9
+            for v in jax.tree_util.tree_leaves(kept["quant_stats"])
+        )
 
     def test_calibration_forward_matches_plain_eval(self, calibrated):
         spec, variables, batch, out_ref = calibrated
@@ -108,6 +125,25 @@ class TestQuantizedForward:
             # random-weight towers see ~2% logit rmse at 8-bit symmetric
             assert rel < 0.15, f"{key}: rel rmse {rel}"
             assert (a.argmax(-1) == b.argmax(-1)).all()
+
+    def test_uncalibrated_int8_fails_loudly(self, calibrated):
+        """Skipping calibration must be an ERROR, not silent garbage:
+        init creates no quant_stats, so the int8 apply hits a missing
+        collection instead of quantizing with amax=0."""
+        spec, variables, batch, _ = calibrated
+        qmodel = TBNModel(dataclasses.replace(spec, quantize="int8"))
+        no_stats = {k: v for k, v in variables.items() if k != "quant_stats"}
+        with pytest.raises(Exception, match="quant_stats"):
+            qmodel.apply(no_stats, batch, train=False)
+
+    def test_init_creates_no_quant_stats(self):
+        rng = np.random.default_rng(1)
+        qmodel = TBNModel(_spec(quantize="int8"))
+        batch = _batch(rng)
+        variables = jax.jit(lambda r, b: qmodel.init(r, b, train=False))(
+            {"params": jax.random.key(0)}, batch
+        )
+        assert "quant_stats" not in variables
 
     def test_train_path_ignores_quantize(self, calibrated):
         spec, variables, batch, _ = calibrated
