@@ -22,8 +22,32 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: CPU-backend compiles run locally, so the
 # disk cache carries across pytest runs (the big SPMD train-step programs
 # dominate suite time otherwise). Harmless when cold.
+#
+# The cache dir is keyed by a HOST-CPU fingerprint: XLA:CPU stores AOT
+# code compiled for the build host's exact feature set, and loading an
+# entry from a machine with different features only WARNS before
+# executing — observed as a fatal SIGILL/abort mid-suite when the repo
+# moved hosts between rounds. A per-CPU subdirectory makes stale entries
+# unreachable instead of fatal.
+def _cpu_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    tag += line
+                    break
+    except OSError:
+        tag += platform.processor()
+    return hashlib.md5(tag.encode()).hexdigest()[:10]
+
+
 jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache", _cpu_fingerprint()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
