@@ -209,6 +209,12 @@ class DataLoader:
                                     arr is not None
                                     and arr.ndim == 5
                                     and arr.shape[3] % 2 == 0
+                                    # mirror the model-side packed-input
+                                    # detection (models/tbn.py), which only
+                                    # fires for uint8 streams — packing a
+                                    # float stream here would feed the stem
+                                    # an undetected (W/2, 2C) tensor
+                                    and arr.dtype == np.uint8
                                 ):
                                     b_, n_, h_, w_, c_ = arr.shape
                                     batch[key] = np.ascontiguousarray(

@@ -224,6 +224,16 @@ class TBNSpec:
             "proto",
         ):
             raise ValueError(f"Unknown attention type {self.attention_type!r}")
+        from ..ops.pooling import POOL_IMPLS
+
+        if self.pool_impl not in POOL_IMPLS:
+            # without this a typo'd tpu.pool_impl would silently fall
+            # through max_pool2d's impl dispatch to reduce_window and an
+            # A/B run would report baseline numbers under the wrong label
+            raise ValueError(
+                f"Unknown pool_impl {self.pool_impl!r}; expected one of "
+                f"{POOL_IMPLS}"
+            )
         if self.quantize not in ("", "calibrate", "int8"):
             raise ValueError(f"Unknown quantize mode {self.quantize!r}")
         if self.quantize:

@@ -45,7 +45,7 @@ class ServingModel:
 
         if platform:
             jax.config.update("jax_platforms", platform)
-        import orbax.checkpoint as ocp
+        from ..utils.checkpoint import restore_numpy_tree
 
         bundle_dir = os.path.abspath(bundle_dir)
         with open(os.path.join(bundle_dir, "manifest.json")) as fh:
@@ -53,13 +53,7 @@ class ServingModel:
         with open(os.path.join(bundle_dir, "module.stablehlo.mlir")) as fh:
             module = fh.read()
 
-        ckptr = ocp.PyTreeCheckpointer()
-        params_path = os.path.join(bundle_dir, "params")
-        meta = ckptr.metadata(params_path).item_metadata
-        restore_args = jax.tree.map(
-            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
-        )
-        variables = ckptr.restore(params_path, restore_args=restore_args)
+        variables = restore_numpy_tree(os.path.join(bundle_dir, "params"))
         param_leaves = jax.tree_util.tree_leaves(variables)
         want = self.manifest.get("param_leaf_count")
         if want is not None and want != len(param_leaves):

@@ -46,6 +46,30 @@ from ..utils.metrics import Metric
 from ..utils.misc import get_time_diff
 
 
+def _check_grouped_dispatch_single_host(cfg) -> None:
+    """Fail fast: tpu.steps_per_call>1 / tpu.fuse_accum=true are
+    single-host modes.
+
+    Grouped dispatch stacks loader batches EAGERLY on the host
+    (train_one_epoch flush_group); multi-host batches are global arrays
+    from ``make_array_from_process_local_data`` whose shards live on
+    other processes, and ``jnp.stack`` on a non-fully-addressable array
+    raises deep inside the first grouped epoch. Surface the
+    misconfiguration before any compile instead.
+    """
+    accum_k = int(cfg.train.optim.accumulator_step)
+    fuse_accum = bool(cfg.get_path("tpu.fuse_accum", False)) and accum_k > 1
+    steps_per_call = int(cfg.get_path("tpu.steps_per_call", 1) or 1)
+    if jax.process_count() > 1 and (fuse_accum or steps_per_call > 1):
+        raise ValueError(
+            "tpu.steps_per_call>1 / tpu.fuse_accum=true are single-host "
+            "modes: they stack batches on the host before dispatch, which "
+            "is unsupported for multi-host (non-fully-addressable) global "
+            "arrays. With tpu.multihost=true leave tpu.steps_per_call=1 "
+            "and tpu.fuse_accum=false."
+        )
+
+
 def _device_put_factory(mesh):
     sharding = batch_sharding(mesh)
     multihost = jax.process_count() > 1
@@ -65,14 +89,6 @@ def _device_put_factory(mesh):
         return jax.tree.map(put_one, tree)
 
     return device_put
-
-
-def _pad_batch(batch, targets, total: int):
-    """Back-compat alias: padding now lives in the loader (data/loader.py
-    pad_batch) so it runs in the producer thread off the critical path."""
-    from ..data.loader import pad_batch
-
-    return pad_batch(batch, targets, total)
 
 
 def train_one_epoch(
@@ -232,6 +248,7 @@ def run_trainer(cfg, logger, modality, writer=None):
 
     logger.info("Initializing model...")
     maybe_initialize_distributed(cfg)
+    _check_grouped_dispatch_single_host(cfg)
     mesh = make_mesh(cfg)
     logger.info(
         f"Mesh: {mesh.shape} over {mesh.size} device(s), "

@@ -121,6 +121,25 @@ def save_checkpoint(
         _finalize()
 
 
+def restore_numpy_tree(path: str):
+    """Template-free Orbax restore with every leaf as HOST numpy.
+
+    The one orbax-API-version-sensitive incantation (PyTreeCheckpointer +
+    item_metadata + per-leaf ``RestoreArgs(restore_type=np.ndarray)``),
+    shared by :func:`restore_for_eval` and the serving runtime
+    (tools/serve.py). Numpy leaves deliberately drop the SAVED sharding
+    metadata so a checkpoint written on one topology (8-device training
+    mesh) restores on another (single serving chip).
+    """
+    path = os.path.abspath(path)
+    checkpointer = ocp.PyTreeCheckpointer()
+    meta = checkpointer.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+    )
+    return checkpointer.restore(path, restore_args=restore_args)
+
+
 def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
     """Template-free restore for inference: (params, batch_stats, history).
 
@@ -138,12 +157,7 @@ def restore_for_eval(path: str) -> Tuple[Dict, Dict, Dict]:
     """
     _finalize()
     path = os.path.abspath(path)
-    checkpointer = ocp.PyTreeCheckpointer()
-    meta = checkpointer.metadata(path).item_metadata
-    restore_args = jax.tree.map(
-        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
-    )
-    tree = checkpointer.restore(path, restore_args=restore_args)
+    tree = restore_numpy_tree(path)
     params = tree["params"]
     batch_stats = tree.get("batch_stats", {})
 

@@ -169,3 +169,18 @@ def test_audio_alt_stem_skips_pretrained(tmp_path):
     params, _ = load_pretrained_towers(cfg, ["RGB", "Audio"], params, {})
     assert "conv1_7x7_s2" in params["Base_RGB"]
     assert params["Base_Audio"] is sentinel
+
+
+def test_spec_validates_pool_impl():
+    """A typo'd tpu.pool_impl must raise, not silently select reduce_window
+    (the A/B-mislabeling failure mode)."""
+    import dataclasses
+
+    from attention_based_tbn_tpu.models.tbn import TBNSpec
+
+    cfg = load_config(overrides=["model.pretrained=False"])
+    spec = TBNSpec.from_config(cfg, ["RGB"])
+    spec.validate()  # default impl is valid
+    bad = dataclasses.replace(spec, pool_impl="pallaspool")
+    with pytest.raises(ValueError, match="pool_impl"):
+        bad.validate()

@@ -301,3 +301,39 @@ class TestMultihostResultSaving:
         assert set(saved.keys()) == set(expected.keys())
         for uid, scores in saved.items():
             assert scores["verb"]["0"] == expected[uid]
+
+
+class TestPackVisualDtypeGate:
+    """pack_visual only packs uint8 streams — the model-side packed-input
+    detection (models/tbn.py) requires uint8, so packing a float stream
+    would feed the stem an undetected (W/2, 2C) tensor."""
+
+    class _FakeDS:
+        def __init__(self, dtype):
+            self.dtype = dtype
+
+        def __len__(self):
+            return 4
+
+        def sample(self, index, rng):
+            return {
+                "uid": index,
+                "vid_id": f"P01_{index:02d}",
+                "start_time": 0.0,
+                "stop_time": 1.0,
+                "RGB": np.zeros((2, 8, 8, 3), self.dtype),
+                "labels": {"verb": 0},
+            }
+
+    def _first_batch(self, dtype):
+        loader = DataLoader(
+            self._FakeDS(dtype), batch_size=4, num_workers=1, pack_visual=True
+        )
+        batch, _, _ = next(iter(loader))
+        return batch
+
+    def test_uint8_stream_packs(self):
+        assert self._first_batch(np.uint8)["RGB"].shape == (4, 2, 8, 4, 6)
+
+    def test_float_stream_stays_unpacked(self):
+        assert self._first_batch(np.float32)["RGB"].shape == (4, 2, 8, 8, 3)

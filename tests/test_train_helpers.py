@@ -5,14 +5,14 @@ import pytest
 
 from attention_based_tbn_tpu.config import load_config
 from attention_based_tbn_tpu.parallel.optim import lr_at_epoch
-from attention_based_tbn_tpu.tools.train import _pad_batch
+from attention_based_tbn_tpu.data.loader import pad_batch
 
 
 class TestPadBatch:
     def test_pads_by_repeating_first_row(self):
         batch = {"RGB": np.arange(12).reshape(3, 4)}
         targets = {"class": {"verb": np.asarray([5, 6, 7])}}
-        b, t = _pad_batch(batch, targets, 8)
+        b, t = pad_batch(batch, targets, 8)
         assert b["RGB"].shape == (8, 4)
         np.testing.assert_array_equal(b["RGB"][3], b["RGB"][0])
         np.testing.assert_array_equal(t["class"]["verb"], [5, 6, 7, 5, 5, 5, 5, 5])
@@ -20,7 +20,7 @@ class TestPadBatch:
     def test_noop_when_already_divisible(self):
         batch = {"RGB": np.zeros((8, 2))}
         targets = {"class": {"verb": np.zeros(8, np.int32)}}
-        b, t = _pad_batch(batch, targets, 8)
+        b, t = pad_batch(batch, targets, 8)
         assert b["RGB"].shape == (8, 2)
 
 
@@ -53,3 +53,50 @@ class TestWarmupMultiplier:
             ]
         )
         assert lr_at_epoch(cfg, 6) == pytest.approx(0.01 * 0.1 * 2)
+
+
+class TestGroupedDispatchSingleHostGuard:
+    """tpu.steps_per_call>1 / tpu.fuse_accum stack batches eagerly on the
+    host (flush_group), which multi-host global arrays cannot do — the
+    trainer must reject the combination before any compile."""
+
+    def _cfg(self, *extra):
+        return load_config(overrides=list(extra))
+
+    def test_rejects_steps_per_call_multihost(self, monkeypatch):
+        import jax
+
+        from attention_based_tbn_tpu.tools.train import (
+            _check_grouped_dispatch_single_host,
+        )
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="single-host"):
+            _check_grouped_dispatch_single_host(self._cfg("tpu.steps_per_call=2"))
+
+    def test_rejects_fuse_accum_multihost(self, monkeypatch):
+        import jax
+
+        from attention_based_tbn_tpu.tools.train import (
+            _check_grouped_dispatch_single_host,
+        )
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="single-host"):
+            _check_grouped_dispatch_single_host(
+                self._cfg("tpu.fuse_accum=True", "train.optim.accumulator_step=4")
+            )
+
+    def test_allows_defaults_multihost_and_grouped_single_host(self, monkeypatch):
+        import jax
+
+        from attention_based_tbn_tpu.tools.train import (
+            _check_grouped_dispatch_single_host,
+        )
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        _check_grouped_dispatch_single_host(self._cfg())  # no grouping: fine
+        monkeypatch.setattr(jax, "process_count", lambda: 1)
+        _check_grouped_dispatch_single_host(
+            self._cfg("tpu.steps_per_call=4")
+        )  # single host: fine
