@@ -337,3 +337,31 @@ class TestPackVisualDtypeGate:
 
     def test_float_stream_stays_unpacked(self):
         assert self._first_batch(np.float32)["RGB"].shape == (4, 2, 8, 8, 3)
+
+
+class TestWorkerCountInvariance:
+    """Batches must be bit-identical regardless of num_workers: sampling
+    rng is keyed (seed, epoch, index), never thread schedule."""
+
+    def test_same_batches_1_vs_4_workers(self, fixture_root):
+        root, videos = fixture_root
+        cfg = make_cfg(root)
+        ds = VideoDataset(
+            cfg, videos, "annotations/epic_train_val.csv",
+            ["RGB", "Audio"], mode="train",
+        )
+
+        def run(workers):
+            loader = DataLoader(
+                ds, batch_size=3, shuffle=True, num_workers=workers, seed=3
+            )
+            loader.set_epoch(1)
+            return list(loader)
+
+        for (b1, t1, m1), (b4, t4, m4) in zip(run(1), run(4)):
+            assert m1["uid"] == m4["uid"]
+            for key in b1:
+                np.testing.assert_array_equal(b1[key], b4[key])
+            np.testing.assert_array_equal(
+                t1["class"]["verb"], t4["class"]["verb"]
+            )
