@@ -138,8 +138,11 @@ def main():
     elapsed = time.perf_counter() - start
 
     clips_per_sec = batch_size * iters / elapsed
-    n_chips = jax.device_count()
-    value = clips_per_sec / n_chips
+    # the un-annotated jit above executes on ONE chip regardless of how
+    # many the host exposes, so per-chip throughput divides by 1 — NOT by
+    # jax.device_count(), which would underreport on a multi-chip host
+    # (this host exposes one chip, so historical numbers are unaffected)
+    value = clips_per_sec
 
     print(
         json.dumps(
