@@ -60,6 +60,13 @@ def loud_prior(spec: np.ndarray, win_size: int) -> np.ndarray:
 
     ``spec`` is a (freq, time) log-power spectrogram. Only complete
     ``win_size`` blocks along time are scored; loudness is the block max.
+
+    Documented quirk (faithful to reference dataset.py:560-571): the
+    re-centering gate compares the loudest BLOCK INDEX (0..T/win-1) against
+    the WINDOW LENGTH — so with more than ``win_size`` blocks a late loud
+    block leaves the prior centred, and ``loudest_loc == win_size`` rolls
+    the peak off the end before the flattening erases it. Reproduced as-is
+    so priors match the reference bit-for-bit.
     """
     loudness = []
     for idx in range(0, spec.shape[1], win_size):

@@ -26,6 +26,17 @@ def build_model(cfg, modality: List[str]) -> Tuple[TBNModel, TBNSpec]:
     assert (
         cfg.model.loss_fn in _LOSS_TYPES
     ), f"Loss type '{cfg.model.loss_fn}' not supported"
+    if cfg.model.loss_fn not in ("crossentropy", "nll"):
+        # Same names the reference registers (model_builder.py:16-22), but
+        # kl/mse/smoothl1 have no integer-label head semantics — the
+        # reference itself crashes on them (get_loss hardwires
+        # criterion["crossentropy"], core/models/model.py:294). They remain
+        # valid as the prior loss via model.attention.wt_loss.
+        raise ValueError(
+            f"model.loss_fn={cfg.model.loss_fn!r} is a prior-loss "
+            "(model.attention.wt_loss) option, not a head loss; use "
+            "'crossentropy' or 'nll'"
+        )
 
     spec = TBNSpec.from_config(cfg, modality)
     spec.validate()

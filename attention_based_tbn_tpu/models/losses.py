@@ -3,7 +3,8 @@
 Reproduces the reference loss surface (core/models/model_builder.py:16-22,
 core/models/model.py:264-334, core/models/contrast_loss.py):
 
-* classification: crossentropy / nll / kl / mse / smoothl1 per head, summed;
+* classification: crossentropy / nll per head, summed (kl/mse/smoothl1 are
+  registry names only — see CLASSIFICATION_LOSSES);
 * prior loss on attention weights (KL against a gaussian/uniform/loud prior,
   "batchmean"-reduced, applied to log-weights);
 * contrast loss: sum(off-peak) - sum(peak) under a detached threshold mask;
@@ -106,12 +107,16 @@ def kl_div(
     return jnp.mean(pointwise)
 
 
+# Head (classification) losses by cfg.model.loss_fn. Only these two have
+# integer-label semantics; "kl"/"mse"/"smoothl1" are valid loss NAMES in the
+# reference's registry (model_builder.py:16-22) but are usable only as the
+# prior loss (wt_loss) — the reference's get_loss hardwires
+# criterion["crossentropy"] for the heads (model.py:294), so selecting any
+# other head loss raises a KeyError there; here it raises a clear error in
+# tbn_loss instead of silently training with the wrong objective.
 CLASSIFICATION_LOSSES = {
     "crossentropy": cross_entropy,
     "nll": nll_loss,
-    "kl": None,  # handled via kl_div with log-input semantics
-    "mse": mse_loss,
-    "smoothl1": smooth_l1_loss,
 }
 
 
@@ -187,9 +192,15 @@ def tbn_loss(
     from every mean so the padded duplicates neither bias the gradient nor
     corrupt the reported losses. None = no padding (all rows real)."""
     att_cfg = cfg.model.attention
-    loss_fn = cross_entropy if cfg.model.loss_fn == "crossentropy" else (
-        CLASSIFICATION_LOSSES.get(cfg.model.loss_fn) or cross_entropy
-    )
+    try:
+        loss_fn = CLASSIFICATION_LOSSES[cfg.model.loss_fn]
+    except KeyError:
+        raise ValueError(
+            f"model.loss_fn={cfg.model.loss_fn!r} has no integer-label head "
+            "semantics; it is a prior-loss (model.attention.wt_loss) option. "
+            "The reference likewise cannot train heads with it "
+            "(core/models/model.py:294 hardwires criterion['crossentropy'])."
+        ) from None
 
     loss: Dict[str, jnp.ndarray] = {}
     all_class = 0.0
@@ -224,7 +235,18 @@ def tbn_loss(
             wt_mask = jnp.repeat(sample_mask, per_sample)
 
         if att_cfg.use_prior:
-            prior = targets["weights"].reshape(wts.shape[0], -1)
+            # targets["weights"] is (B, N, W, 1) — one prior per (sample,
+            # segment). Under 10-crop eval the attention rows are tiled
+            # crop-major to B*10*N (models/tbn.tile_crop_rows); tile the
+            # prior identically so each crop row pairs its own segment's
+            # prior (the bare reshape would need W % crops == 0 and still
+            # mispair segments).
+            b, n = targets["weights"].shape[:2]
+            prior = targets["weights"].reshape(b * n, -1)
+            if wts.shape[0] != b * n:
+                from .tbn import tile_crop_rows
+
+                prior = tile_crop_rows(prior, b, wts.shape[0] // (b * n))
             loss["prior"] = prior_loss(
                 wts, prior, att_cfg.wt_loss, att_cfg.loss_reduction,
                 row_mask=wt_mask,

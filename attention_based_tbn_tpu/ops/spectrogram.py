@@ -113,12 +113,6 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int = 128) -> np.ndarray:
     return weights.T.astype(np.float32)  # (n_bins, n_mels)
 
 
-def frame_signal(padded: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
-    """(..., L_padded) -> (..., n_frames, n_fft) via a static gather."""
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    return padded[..., idx]
-
-
 def _stft_power_conv(
     signal_2d: jnp.ndarray,  # (B, L)
     n_fft: int,

@@ -35,11 +35,6 @@ def topk_correct(logits: jnp.ndarray, labels: jnp.ndarray, maxk: int = 5):
     return (preds == labels[:, None]).T, preds[:, 0]
 
 
-def confusion_update(conf: np.ndarray, labels: np.ndarray, top1: np.ndarray):
-    np.add.at(conf, (labels, top1), 1.0)
-    return conf
-
-
 @functools.lru_cache(maxsize=None)
 def _make_updater(keys: Tuple[str, ...], topk: Tuple[int, ...], maxk: int,
                   multi: bool):

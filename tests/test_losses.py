@@ -204,3 +204,50 @@ class TestTBNLoss:
         # validation computes the full sum regardless of epoch (reference
         # get_loss is called without epoch at val, defaulting to multipliers on)
         assert float(loss["total"]) > float(loss["all_class"])
+
+
+    def test_non_head_loss_fn_raises(self):
+        # kl/mse/smoothl1 are registry names (reference model_builder.py:16-22)
+        # but the reference hardwires criterion["crossentropy"] for the heads
+        # (model.py:294) and crashes on anything else; we fail with a clear
+        # error instead of silently substituting cross-entropy.
+        cfg, preds, targets = self._make(**{"model.loss_fn": "kl"})
+        with pytest.raises(ValueError, match="wt_loss"):
+            tbn_loss(preds, targets, cfg, epoch=0, train=True)
+
+        from attention_based_tbn_tpu.models.builder import build_model
+
+        with pytest.raises(ValueError, match="wt_loss"):
+            build_model(cfg, ["RGB"])
+
+    def test_prior_pairs_ten_crop_rows(self):
+        # Under 10-crop eval the attention rows are crop-tiled to B*10*N
+        # (models/tbn.tile_crop_rows). The prior term must pair each crop row
+        # with its own segment's prior: tiling is loss-invariant, and W=13
+        # (not divisible by 10) must not crash the old bare reshape.
+        from attention_based_tbn_tpu.models.tbn import tile_crop_rows
+
+        cfg, preds, targets = self._make(
+            **{"model.attention.use_prior": True, "model.attention.decay_step": 1}
+        )
+        base = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        )  # (B*N, W) = (4*3, 13)
+        targets["weights"] = jnp.asarray(
+            torch.softmax(torch.from_numpy(rand_logits(12, 13)), -1).numpy()
+        ).reshape(4, 3, 13, 1)
+
+        untiled = tbn_loss(
+            preds, targets, cfg, epoch=5, train=False, attention_weights=base
+        )
+        tiled = tbn_loss(
+            preds,
+            targets,
+            cfg,
+            epoch=5,
+            train=False,
+            attention_weights=tile_crop_rows(base, 4, 10),
+        )
+        np.testing.assert_allclose(
+            float(tiled["prior"]), float(untiled["prior"]), rtol=1e-6
+        )
