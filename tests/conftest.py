@@ -35,10 +35,13 @@ def _cpu_fingerprint() -> str:
 
     tag = platform.machine()
     try:
+        # flags alone miss model-dependent LLVM tuning (+prefer-no-gather
+        # etc. vary by CPU model with identical flag lines)
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if line.startswith(("flags", "Features", "model name")):
                     tag += line
+                if line.startswith(("flags", "Features")):
                     break
     except OSError:
         tag += platform.processor()
