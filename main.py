@@ -46,10 +46,13 @@ def main(argv=None):
 
     cache_dir = cfg.get_path("tpu.compile_cache", "") or ""
     if cache_dir:
-        import jax
+        # Host-keyed subdir: a cache that survives a host change must not
+        # serve another machine's XLA:CPU AOT code (SIGILL, not a miss).
+        from attention_based_tbn_tpu.utils.platform import (
+            enable_compile_cache,
+        )
 
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        enable_compile_cache(cache_dir)
 
     np.random.seed(int(cfg.data.manual_seed))
 

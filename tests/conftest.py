@@ -21,37 +21,22 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: CPU-backend compiles run locally, so the
 # disk cache carries across pytest runs (the big SPMD train-step programs
-# dominate suite time otherwise). Harmless when cold.
-#
-# The cache dir is keyed by a HOST-CPU fingerprint: XLA:CPU stores AOT
-# code compiled for the build host's exact feature set, and loading an
-# entry from a machine with different features only WARNS before
-# executing — observed as a fatal SIGILL/abort mid-suite when the repo
-# moved hosts between rounds. A per-CPU subdirectory makes stale entries
-# unreachable instead of fatal.
-def _cpu_fingerprint() -> str:
-    import hashlib
-    import platform
+# dominate suite time otherwise). Harmless when cold. Host-fingerprint
+# keying (utils/platform.enable_compile_cache) keeps stale cross-host
+# XLA:CPU AOT entries unreachable instead of fatal (SIGILL mid-suite when
+# the repo moved hosts between rounds).
+import sys  # noqa: E402
 
-    tag = platform.machine()
-    try:
-        # flags alone miss model-dependent LLVM tuning (+prefer-no-gather
-        # etc. vary by CPU model with identical flag lines)
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features", "model name")):
-                    tag += line
-                if line.startswith(("flags", "Features")):
-                    break
-    except OSError:
-        tag += platform.processor()
-    return hashlib.md5(tag.encode()).hexdigest()[:10]
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
+from attention_based_tbn_tpu.utils.platform import (  # noqa: E402
+    enable_compile_cache,
+)
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache", _cpu_fingerprint()))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache(
+    os.path.join(_REPO_ROOT, ".jax_cache"), min_compile_secs=1.0
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -94,3 +94,33 @@ def test_cli_quantize_fails_fast(fixture_root):
     assert result.returncode != 0
     combined = result.stdout + result.stderr
     assert "calibrate_quantization" in combined
+
+
+def test_compile_cache_is_host_keyed(tmp_path):
+    """tpu.compile_cache must land in a host-fingerprinted subdir: XLA:CPU
+    AOT entries from another host SIGILL instead of missing, so a cache
+    root that survives a host change must never be served directly."""
+    import jax
+
+    from attention_based_tbn_tpu.utils.platform import (
+        enable_compile_cache,
+        host_fingerprint,
+    )
+
+    fp = host_fingerprint()
+    assert fp == host_fingerprint()
+    assert len(fp) == 10 and all(c in "0123456789abcdef" for c in fp)
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        enable_compile_cache(str(tmp_path), min_compile_secs=2.0)
+        assert jax.config.jax_compilation_cache_dir == os.path.join(
+            str(tmp_path), fp
+        )
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min
+        )
