@@ -175,8 +175,7 @@ class DataLoader:
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def sample_one(args):
-            batch_no, index = args
+        def sample_one(index):
             rng = np.random.default_rng(
                 (self.seed, self.epoch, int(index))
             )
@@ -188,9 +187,7 @@ class DataLoader:
                     for batch_no, idx in enumerate(batches):
                         if stop.is_set():
                             return
-                        samples = list(
-                            pool.map(sample_one, [(batch_no, i) for i in idx])
-                        )
+                        samples = list(pool.map(sample_one, idx))
                         batch, targets, meta = collate(samples)
                         # GLOBAL true size (multi-host shards report the
                         # whole batch's), local rows for padding

@@ -117,7 +117,16 @@ class ServingModel:
         ]
         outs = _execute(self._executable, bufs)
         arrays = [np.asarray(o) for o in outs]
-        if len(arrays) != len(self._output_names):
+        if len(arrays) < len(self._output_names):
+            # zip would silently drop the missing outputs — a manifest /
+            # module mismatch must be loud, not a truncated 200 response
+            raise RuntimeError(
+                f"module returned {len(arrays)} outputs but the manifest "
+                f"names {len(self._output_names)}: {self._output_names} — "
+                "the StableHLO module and manifest.json disagree "
+                "(mixed-version bundle?)"
+            )
+        if len(arrays) > len(self._output_names):
             # older manifests without output_names: label extras aux_<i>
             names = list(self._output_names) + [
                 f"aux_{i}" for i in range(len(arrays) - len(self._output_names))

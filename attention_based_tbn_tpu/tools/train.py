@@ -205,6 +205,13 @@ def train_one_epoch(
                 flush_group(fused_fn, with_true_bs=True)
             continue
         if multi_fn is not None and bs == rows:
+            if pending and rows != next(
+                v.shape[0] for v in pending[0][0].values()
+                if hasattr(v, "shape")
+            ):
+                # smaller-but-unpadded tail (batch % mesh == 0): it cannot
+                # stack with the open group — drain that group first
+                drain_sequential()
             pending.append((batch, targets, bs))
             if len(pending) == group_len:
                 flush_group(multi_fn, with_true_bs=False)
@@ -344,6 +351,15 @@ def run_trainer(cfg, logger, modality, writer=None):
         multi_step = (
             make_multi_train_step(model, tx, cfg, mesh, steps=steps_per_call),
             steps_per_call,
+        )
+    elif steps_per_call > 1:
+        logger.warning(
+            "tpu.steps_per_call is ignored when tpu.fuse_accum is enabled: "
+            "each fused accumulation group dispatches individually. (The "
+            "composed kernel exists as parallel/train_step."
+            "make_multi_fused_step — see benchmarks/train_bench.py — but "
+            "fuse_accum measured slower than sequential dispatch on v5e, "
+            "so the trainer does not wire the combination.)"
         )
     eval_step = make_eval_step(model, cfg, mesh)
     best_acc = float("-inf")

@@ -84,6 +84,21 @@ def test_serving_model_validates_inputs(bundle):
         sm.predict({"Flow": batch["RGB"]})
 
 
+def test_serving_model_rejects_output_count_mismatch(bundle):
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    paths, *_ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    batch = sm.example_batch()
+    # a manifest naming MORE outputs than the module returns must raise,
+    # not silently truncate the response dict (mixed-version bundle)
+    sm._output_names = list(sm._output_names) + ["ghost_head"]
+    with pytest.raises(RuntimeError, match="manifest"):
+        sm.predict(batch)
+
+
 def test_http_round_trip(bundle):
     import io
     import os

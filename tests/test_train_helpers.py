@@ -100,3 +100,86 @@ class TestGroupedDispatchSingleHostGuard:
         _check_grouped_dispatch_single_host(
             self._cfg("tpu.steps_per_call=4")
         )  # single host: fine
+
+
+class TestGroupedDispatchTailFlush:
+    """tpu.steps_per_call groups only stack SAME-SHAPE batches: a final
+    batch that is smaller but still mesh-aligned (batch %% mesh == 0, so
+    the loader never pads it and bs == rows) must close the open group
+    sequentially instead of joining the stack (jnp.stack would raise on
+    the row mismatch, aborting the epoch)."""
+
+    @staticmethod
+    def _run_epoch(row_sizes, group_len):
+        import logging
+
+        import jax
+        import jax.numpy as jnp
+
+        from attention_based_tbn_tpu.tools.train import train_one_epoch
+
+        class StubLoader:
+            batch_size = row_sizes[0]
+            dataset = list(range(sum(row_sizes)))
+
+            def set_epoch(self, epoch):
+                pass
+
+            def __iter__(self):
+                for r in row_sizes:
+                    batch = {"RGB": np.zeros((r, 2), np.float32)}
+                    targets = {"verb": np.zeros((r,), np.int32)}
+                    yield batch, targets, {"batch_size": r}
+
+        class StubMetric:
+            def __init__(self):
+                self.rows = []
+
+            def update(self, preds, targets, loss, batch_size):
+                self.rows.append(
+                    (int(batch_size), int(preds["verb"].shape[0]))
+                )
+
+            def compute(self):
+                return {}, None, None
+
+        def step_fn(state, batch, targets, rng, epoch, bs):
+            rows = batch["RGB"].shape[0]
+            return (
+                state + 1,
+                {"total": jnp.zeros(())},
+                {"verb": jnp.zeros((rows, 3))},
+            )
+
+        def multi_fn(state, batches, targetss, rng, epoch):
+            k, rows = batches["RGB"].shape[:2]
+            return (
+                state + k,
+                {"total": jnp.zeros((k,))},
+                {"verb": jnp.zeros((k, rows, 3))},
+            )
+
+        cfg = load_config()
+        metric = StubMetric()
+        state, _ = train_one_epoch(
+            cfg,
+            jnp.zeros((), jnp.int32),
+            step_fn,
+            StubLoader(),
+            metric,
+            epoch=0,
+            rng=jax.random.PRNGKey(0),
+            logger=logging.getLogger("test"),
+            multi_step=(multi_fn, group_len),
+        )
+        return int(state), metric.rows
+
+    def test_unpadded_tail_drains_open_group(self):
+        steps, rows = self._run_epoch([8, 8, 8, 4], group_len=4)
+        assert steps == 4  # every batch trained exactly once
+        assert rows == [(8, 8), (8, 8), (8, 8), (4, 4)]
+
+    def test_full_groups_still_stack(self):
+        steps, rows = self._run_epoch([8, 8, 8, 8], group_len=4)
+        assert steps == 4
+        assert rows == [(8, 8)] * 4

@@ -40,11 +40,16 @@ for f in imagenet_bninception_rgb.pth kinetics_bninception_flow.pth; do
     sha256sum "$f"
 done
 
-# Optional ahead-of-time conversion to Orbax-free .npz (torch needed once):
+# Optional ahead-of-time conversion to Orbax-free .npz (torch needed once).
+# PYTHONPATH=..: the package lives at the repo root, one level up from this
+# weights/ dir we cd'd into — without it `python -m` can't import it from a
+# plain (un-installed) checkout.
 if python -c "import torch" >/dev/null 2>&1; then
+    PYTHONPATH="..${PYTHONPATH:+:$PYTHONPATH}" \
     python -m attention_based_tbn_tpu.models.convert_cli \
         --input imagenet_bninception_rgb.pth --kind bninception \
         --output imagenet_bninception_rgb.npz
+    PYTHONPATH="..${PYTHONPATH:+:$PYTHONPATH}" \
     python -m attention_based_tbn_tpu.models.convert_cli \
         --input kinetics_bninception_flow.pth --kind bninception \
         --output kinetics_bninception_flow.npz
