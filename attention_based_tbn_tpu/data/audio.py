@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import wave
 from typing import Optional
 
@@ -108,13 +109,25 @@ def extract_window(
 
 
 class AudioCache:
-    """LRU cache of untrimmed waveforms keyed by video id."""
+    """LRU cache of untrimmed waveforms keyed by video id.
+
+    Per-key locking dedupes concurrent misses: the loader threads all hit
+    a new video's segments at once, and without the lock each would decode
+    and resample the entire multi-minute waveform (the most expensive host
+    IO op) instead of one decoding while the rest wait."""
 
     def __init__(self, loader, max_items: int = 8):
         self._load = functools.lru_cache(maxsize=max_items)(loader)
+        self._locks: dict = {}
+        self._locks_guard = threading.Lock()
 
     def __call__(self, vid_id: str) -> np.ndarray:
-        return self._load(vid_id)
+        with self._locks_guard:
+            lock = self._locks.setdefault(vid_id, threading.Lock())
+        with lock:
+            return self._load(vid_id)
 
     def clear(self) -> None:
         self._load.cache_clear()
+        with self._locks_guard:
+            self._locks.clear()

@@ -29,8 +29,6 @@ from .records import (
     EpicRecord,
     load_annotations,
     record_from_row,
-    read_vid_list,
-    resolve_vid_list_path,
 )
 from .sampling import flow_stack_indices, sample_indices
 from . import transforms as T

@@ -93,6 +93,8 @@ def load_annotations(
 
 def record_from_row(row, include_action_class: bool = False) -> EpicRecord:
     keys = set(row.index) if hasattr(row, "index") else set(row.keys())
+    # all three class columns required, like the reference (epic_record.py:
+    # 49-59) — the S1/S2 challenge csvs lack them and get fake -1 labels
     has_labels = {"verb_class", "noun_class", "action_class"} <= keys
     return EpicRecord(
         uid=int(row["uid"]),

@@ -19,12 +19,18 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
-import cv2
 import numpy as np
 
+_INTER_LINEAR = 1  # cv2.INTER_LINEAR, inlined so cv2 can stay a lazy import
 
-def rescale(frames: np.ndarray, size, interpolation=cv2.INTER_LINEAR) -> np.ndarray:
-    """Shorter-side (int size) or exact (tuple) rescale of (N, H, W, C)."""
+
+def rescale(frames: np.ndarray, size, interpolation=_INTER_LINEAR) -> np.ndarray:
+    """Shorter-side (int size) or exact (tuple) rescale of (N, H, W, C).
+
+    cv2 is imported lazily: only resizing needs it, and the native-decode
+    pipeline (dataset._require_cv2 gates the other uses) must be able to
+    import this module on hosts without opencv."""
+    import cv2
     n, h, w = frames.shape[:3]
     if isinstance(size, int):
         if h > w:

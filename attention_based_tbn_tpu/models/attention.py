@@ -206,8 +206,15 @@ class MultiheadAttention(nn.Module):
         ).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, e)
         out = TorchLinear(e, name="out_proj", **kw)(out)
-        # torch averages the (pre-dropout) probabilities over heads
-        weights = jnp.mean(probs, axis=1).astype(self.dtype)
+        # torch returns the POST-dropout probabilities, head-averaged
+        # (F.multi_head_attention_forward applies dropout before both the
+        # value matmul and the need_weights return, torch 1.4 and 2.x
+        # alike) — the reference's prior/contrast/entropy losses therefore
+        # see the dropped/rescaled weights at train time, and so must ours.
+        # Eval: dropout is identity, so this equals the clean softmax.
+        weights = jnp.mean(dropped.astype(jnp.float32), axis=1).astype(
+            self.dtype
+        )
         return out, weights
 
 

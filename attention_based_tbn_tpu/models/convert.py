@@ -175,10 +175,9 @@ def convert_resnet(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
 
 def vgg_conv_feature_indices(vgg_type: str, batch_norm: bool) -> Dict[int, int]:
     """torchvision features.<idx> -> our conv<i> index map."""
-    from .vgg import VGG_CONFIGS
+    from .vgg import VGG_CONFIGS, vgg_base_type
 
-    base = vgg_type.rstrip("bn") or vgg_type
-    cfg = VGG_CONFIGS[base]
+    cfg = VGG_CONFIGS[vgg_base_type(vgg_type)]
     mapping = {}
     feat_idx = 0
     conv_idx = 0

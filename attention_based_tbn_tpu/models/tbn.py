@@ -476,7 +476,9 @@ class TBNModel(nn.Module):
 
         if train and spec.multimodal and spec.audio_dropout > 0:
             # One scalar draw per step zeroes the whole audio feature
-            # (reference model.py:216-222 draws np.random.uniform() > p; the
+            # (reference model.py:216-222 draws np.random.uniform() > p as
+            # the DROP condition — p is effectively the keep probability;
+            # that counterintuitive polarity is reproduced exactly. The
             # data-dependent branch becomes a traced select here).
             u = jax.random.uniform(self.make_rng("audio_dropout"), ())
             drop = u > spec.audio_dropout

@@ -28,6 +28,13 @@ VGG_CONFIGS = {
 FEATURE_SIZE = 4096
 
 
+def vgg_base_type(vgg_type: str) -> str:
+    """Normalize a vgg type string ("16", "16bn", "11_bn", ...) to its
+    VGG_CONFIGS key. The single source of truth — the converters must
+    accept exactly the spellings the model accepts."""
+    return vgg_type.rstrip("bn").rstrip("_") or vgg_type
+
+
 class VGG(nn.Module):
     """VGG feature tower: NHWC image -> (B, 4096)."""
 
@@ -40,7 +47,7 @@ class VGG(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, row_mask=None):
-        base = self.vgg_type.rstrip("bn").rstrip("_") or self.vgg_type
+        base = vgg_base_type(self.vgg_type)
         use_bn = self.batch_norm or self.vgg_type.endswith("bn")
         cfg = VGG_CONFIGS[base]
         kw = dict(dtype=self.dtype)

@@ -74,6 +74,18 @@ def _is_primary_host() -> bool:
     return jax.process_count() == 1 or jax.process_index() == 0
 
 
+def _multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def _local_replica(x):
+    """Host-numpy copy of this process's replica of a (replicated) global
+    array; non-jax leaves pass through."""
+    if hasattr(x, "addressable_shards"):
+        return np.asarray(x.addressable_shards[0].data)
+    return x
+
+
 def wait_until_finished() -> None:
     """Block until every outstanding save is durable and swapped in."""
     _finalize()
@@ -92,7 +104,14 @@ def save_checkpoint(
     # Multi-host: the data-parallel state is fully replicated, so process 0
     # alone owns every byte; the other hosts must NOT race it on the shared
     # out_dir (the tmp->final renames in _finalize are per-path and not
-    # multi-writer safe).
+    # multi-writer safe). But an Orbax save of the global jax.Arrays
+    # themselves is a COLLECTIVE (multihost barriers inside the
+    # non-fully-addressable array handlers) — process 0 calling it alone
+    # would hang. Every process therefore materializes its LOCAL replica
+    # as host numpy (no collectives: replicated arrays have an addressable
+    # shard on every host), and only process 0 writes the numpy tree.
+    if _multihost():
+        state = jax.tree.map(_local_replica, state)
     if not _is_primary_host():
         return
     path = os.path.abspath(path)

@@ -106,3 +106,36 @@ def test_async_save_overlaps_and_finalizes(tmp_path):
     restored, history = C.restore_checkpoint(path, make_state(0.0))
     np.testing.assert_allclose(np.asarray(restored.params["w"]), 2.0)
     assert history["epoch"] == 2
+
+
+def test_multihost_save_materializes_numpy_before_gating(tmp_path, monkeypatch):
+    """Multi-host: Orbax save of global jax.Arrays is a COLLECTIVE — if
+    only process 0 called it the barriers would hang. save_checkpoint must
+    hand Orbax a host-numpy tree (local replica read, no collectives) when
+    process_count > 1, and must do the materialization on EVERY process so
+    non-primary hosts never touch the collective path either."""
+    import jax.numpy as jnp
+
+    from attention_based_tbn_tpu.utils import checkpoint as ckpt
+
+    captured = {}
+
+    class FakeCheckpointer:
+        def save(self, path, state):
+            captured["state"] = state
+            os.makedirs(path, exist_ok=True)
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(ckpt, "_checkpointer", lambda: FakeCheckpointer())
+    monkeypatch.setattr(ckpt, "_multihost", lambda: True)
+    monkeypatch.setattr(ckpt, "_is_primary_host", lambda: True)
+
+    state = {"w": jnp.ones((3,)), "step": 7}
+    ckpt.save_checkpoint(str(tmp_path / "ck"), state, epoch=0, block=True)
+    leaves = jax.tree_util.tree_leaves(captured["state"])
+    assert all(isinstance(x, (np.ndarray, int)) for x in leaves), [
+        type(x) for x in leaves
+    ]
+    np.testing.assert_allclose(captured["state"]["w"], 1.0)
