@@ -95,6 +95,10 @@ def _parse_value(text: str) -> Any:
         pass
     try:
         # YAML handles scientific notation (1e-2) and flow lists ([20, 30]).
+        # YAML 1.1 bool words (yes/no/on/off) coerce to bool here BY DESIGN:
+        # OmegaConf 1.4's merge_with_dotlist yaml.loads override values with
+        # a SafeLoader subclass that keeps those resolvers, so the reference
+        # CLI surface (Hydra 0.11) behaves identically.
         return yaml.safe_load(text)
     except yaml.YAMLError:
         return text

@@ -159,15 +159,24 @@ int tbn_read_wav(const char* path, int target_sr, float** out,
   while (std::fread(chunk_id, 1, 4, f) == 4 &&
          std::fread(&chunk_size, 4, 1, f) == 1) {
     if (!std::memcmp(chunk_id, "fmt ", 4)) {
+      // A PCM fmt chunk is >= 16 bytes; anything smaller is malformed and
+      // parsing fields at offsets 0-15 would read past the buffer.
+      if (chunk_size < 16) {
+        std::fclose(f);
+        return -3;
+      }
       std::vector<uint8_t> fmt(chunk_size);
       if (std::fread(fmt.data(), 1, chunk_size, f) != chunk_size) break;
       audio_format = *reinterpret_cast<uint16_t*>(&fmt[0]);
       num_channels = *reinterpret_cast<uint16_t*>(&fmt[2]);
       sample_rate = *reinterpret_cast<uint32_t*>(&fmt[4]);
       bits = *reinterpret_cast<uint16_t*>(&fmt[14]);
+      // RIFF chunks are word-aligned: skip the pad byte after odd sizes.
+      if (chunk_size & 1) std::fseek(f, 1, SEEK_CUR);
     } else if (!std::memcmp(chunk_id, "data", 4)) {
       pcm.resize(chunk_size);
       if (std::fread(pcm.data(), 1, chunk_size, f) != chunk_size) break;
+      if (chunk_size & 1) std::fseek(f, 1, SEEK_CUR);
     } else {
       std::fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);
     }
@@ -274,7 +283,11 @@ int tbn_decode_batch(const char** paths, int n, int channels, int scale_size,
         sh = nh; sw = nw;
       }
 
-      // center crop
+      // center crop — a rescaled side smaller than the crop would make the
+      // offsets negative and read before the buffer; count it as a failure.
+      if (sh < crop_size || sw < crop_size) {
+        failures++; continue;
+      }
       const int y0 = (sh - crop_size) / 2;
       const int x0 = (sw - crop_size) / 2;
       uint8_t* dst = out + i * out_frame;

@@ -265,7 +265,6 @@ def avg_pool2d(
         # not. Computed via the same reduce_window over an indicator plane.
         h, w = x.shape[1], x.shape[2]
         if count_include_pad:
-            ones = jnp.ones((1, h + pt + pb - max(pb - p[0], 0), 1, 1), dtype=jnp.float32)
             # indicator covers the explicitly-padded extent only
             ind = jnp.zeros((1, h + pt + pb, w + pl + pr, 1), dtype=jnp.float32)
             ind = ind.at[:, : h + pt + p[0], : w + pl + p[1], :].set(1.0)

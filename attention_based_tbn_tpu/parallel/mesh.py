@@ -44,6 +44,7 @@ def maybe_initialize_distributed(cfg=None) -> None:
 
 def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data-parallel mesh over the selected devices."""
+    subset = False
     if devices is None:
         devices = jax.devices()
         if cfg is not None:
@@ -51,10 +52,25 @@ def make_mesh(cfg=None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
             if ids:
                 by_id = {d.id: d for d in devices}
                 devices = [by_id[i] for i in ids]
+                subset = True
         requested = cfg.get_path("tpu.mesh.data", -1) if cfg is not None else -1
         if requested and requested > 0:
+            if requested < len(devices):
+                subset = True
             devices = devices[:requested]
     if jax.process_count() > 1:
+        if subset:
+            # devices[:N] / gpu_ids keeps the first N GLOBAL devices — on a
+            # pod that silently strips other hosts' chips from every
+            # process's mesh and the first shard_batch dies deep inside
+            # make_array_from_process_local_data. Device subsetting is a
+            # single-host surface; fail loudly here instead.
+            raise RuntimeError(
+                "gpu_ids / tpu.mesh.data device subsetting is not supported "
+                "in multi-host runs: every process must participate with "
+                "all its addressable devices. Run the full slice or shrink "
+                "the job topology instead."
+            )
         # The multi-host loader slices host k's rows as
         # [k*local, (k+1)*local) of the global batch (data/loader.py) and
         # make_array_from_process_local_data maps local rows onto the
@@ -87,16 +103,24 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
     Single-host: a plain device_put. Multi-host: each process holds only
     its shard of the global batch (the loader's ``shard`` argument), and
-    the global array is assembled from the process-local data."""
+    the global array is assembled from the process-local data.
+
+    Non-array leaves (loader meta: uid strings, python lists, ...) pass
+    through unchanged, so whole loader outputs can be mapped — this is the
+    one placement path for the train/test drivers AND direct callers."""
     sharding = batch_sharding(mesh)
-    if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
+    multihost = jax.process_count() > 1
+
+    def put_one(x):
+        if not isinstance(x, (np.ndarray, jax.Array)) and not np.isscalar(x):
+            return x
+        if multihost:
+            return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)
-            ),
-            batch,
-        )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put_one, batch)
 
 
 def pad_to_multiple(batch_size: int, mesh: Mesh) -> int:

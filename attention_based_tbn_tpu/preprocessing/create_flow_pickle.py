@@ -62,6 +62,19 @@ def process_video(video_dir: str, out_dir: str, win_length: int, ext: str,
             if integrity_check(out_path, stack.shape):
                 written += 1
                 break
+        else:
+            # Every retry failed the integrity check (full disk, flaky
+            # storage, ...). Leaving the corrupt npz behind would crash
+            # training much later when the loader opens it — remove it and
+            # fail loudly here instead.
+            try:
+                os.remove(out_path)
+            except OSError:
+                pass
+            raise IOError(
+                f"flow stack {out_path} failed integrity check "
+                f"{retries} times; removed the corrupt file"
+            )
     return written
 
 

@@ -21,9 +21,9 @@ import numpy as np
 from ..data.loader import create_dataloader
 from ..models.builder import build_model
 from ..parallel.mesh import (
-    batch_sharding,
     make_mesh,
     maybe_initialize_distributed,
+    shard_batch,
 )
 from ..parallel.optim import (
     build_optimizer,
@@ -71,22 +71,10 @@ def _check_grouped_dispatch_single_host(cfg) -> None:
 
 
 def _device_put_factory(mesh):
-    sharding = batch_sharding(mesh)
-    multihost = jax.process_count() > 1
-
-    def put_one(x):
-        if not (isinstance(x, np.ndarray) or np.isscalar(x)):
-            return x
-        if multihost:
-            # each process holds its local shard (DataLoader ``shard``);
-            # assemble the global batch-sharded array
-            return jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)
-            )
-        return jax.device_put(np.asarray(x), sharding)
+    """Loader-output placement closure; one logic home: mesh.shard_batch."""
 
     def device_put(tree):
-        return jax.tree.map(put_one, tree)
+        return shard_batch(tree, mesh)
 
     return device_put
 
@@ -408,13 +396,20 @@ def run_trainer(cfg, logger, modality, writer=None):
         )
         # best-accuracy checkpoint (the reference has this commented out,
         # train.py:297-310; opt-in here via train.save_best)
+        # rank by combined accuracy when multi-head ("all_class" exists only
+        # then); a single-head config falls back to its one head, whatever
+        # it is named (num_classes is an arbitrary mapping per CONFIG.md).
+        cur_acc = (
+            val_acc["all_class"] if val_acc and "all_class" in val_acc
+            else next(iter(val_acc.values())) if val_acc else None
+        )
         if (
             cfg.get_path("train.save_best", False)
             and cfg.val.enable
-            and val_acc
-            and val_acc.get("all_class", val_acc.get("verb"))[0] > best_acc
+            and cur_acc is not None
+            and cur_acc[0] > best_acc
         ):
-            best_acc = val_acc.get("all_class", val_acc.get("verb"))[0]
+            best_acc = cur_acc[0]
             save_checkpoint(
                 checkpoint + "_best",
                 state,

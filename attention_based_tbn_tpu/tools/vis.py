@@ -55,7 +55,9 @@ def initialize(
             from ..models.convert import convert_tbn_checkpoint, load_torch_file
 
             params, batch_stats = convert_tbn_checkpoint(
-                load_torch_file(checkpoint), arch=cfg.model.arch
+                load_torch_file(checkpoint),
+                arch=cfg.model.arch,
+                vgg_type=str(cfg.model.vgg.type),
             )
             state = TrainState(
                 step=jnp.zeros((), jnp.int32),
@@ -167,7 +169,10 @@ def save_action_segment(
         for i in range(first, last + 1):
             path = os.path.join(frame_dir, f"img_{i:010d}.jpg")
             if os.path.exists(path):
-                frames.append(cv2.imread(path))
+                frame = cv2.imread(path)
+                if frame is None:  # zero-byte / corrupt JPEG
+                    continue
+                frames.append(frame)
     if not frames:
         raise FileNotFoundError(
             f"no video source for {vid_id} under {data_dir} "

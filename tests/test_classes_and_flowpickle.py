@@ -73,3 +73,25 @@ class TestFlowPickle:
         sample = ds.sample(0, np.random.default_rng(0))
         assert sample["Flow"].shape == (2, 224, 224, 10)
         assert sample["Flow"].dtype == np.uint8
+
+    def test_integrity_failure_raises_and_removes(self, tmp_path, monkeypatch):
+        # persistent integrity failure must fail loudly AND not leave the
+        # corrupt npz behind for the loader to trip over later
+        import pytest
+
+        from attention_based_tbn_tpu.preprocessing import create_flow_pickle
+
+        synthetic.generate(
+            str(tmp_path), videos=["P01_01"], frames_per_video=20,
+            num_verbs=5, num_nouns=5,
+        )
+        video_dir = os.path.join(str(tmp_path), "links", "P01_01")
+        out_dir = os.path.join(str(tmp_path), "flow_out")
+        monkeypatch.setattr(
+            create_flow_pickle, "integrity_check", lambda *a: False
+        )
+        with pytest.raises(IOError, match="integrity"):
+            create_flow_pickle.process_video(
+                video_dir, out_dir, win_length=5, ext="jpg", retries=2
+            )
+        assert not [f for f in os.listdir(out_dir) if f.endswith(".npz")]

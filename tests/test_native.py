@@ -84,6 +84,54 @@ class TestWav:
         spec = np.abs(np.fft.rfft(out))
         assert abs(np.argmax(spec) - 440) <= 2
 
+    @staticmethod
+    def _write_riff(path, chunks):
+        """Assemble a RIFF/WAVE file from raw (id, payload) chunks."""
+        body = b"WAVE"
+        for cid, payload in chunks:
+            body += cid + len(payload).to_bytes(4, "little") + payload
+            if len(payload) & 1:  # RIFF word alignment pad byte
+                body += b"\x00"
+        with open(path, "wb") as handle:
+            handle.write(b"RIFF" + len(body).to_bytes(4, "little") + body)
+
+    def test_short_fmt_chunk_rejected(self, tmp_path):
+        # fmt chunk declaring size 14 (< the 16 bytes of PCM fields) must be
+        # rejected, not parsed past the buffer end
+        path = tmp_path / "badfmt.wav"
+        fmt14 = (
+            (1).to_bytes(2, "little")      # PCM
+            + (1).to_bytes(2, "little")    # mono
+            + (24000).to_bytes(4, "little")
+            + (48000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")    # block align — bits field missing
+        )
+        pcm = (np.zeros(100, "<i2")).tobytes()
+        self._write_riff(path, [(b"fmt ", fmt14), (b"data", pcm)])
+        with pytest.raises(IOError):
+            native.read_wav(str(path), target_sr=24000)
+
+    def test_odd_sized_junk_chunk_skipped(self, tmp_path):
+        # an odd-sized unknown chunk before fmt/data must not desync parsing
+        path = tmp_path / "junk.wav"
+        sr = 24000
+        signal = np.full(sr, 0.25, np.float32)
+        pcm = (signal * 32767).astype("<i2").tobytes()
+        fmt = (
+            (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + sr.to_bytes(4, "little")
+            + (2 * sr).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        self._write_riff(
+            path, [(b"LIST", b"junk!"), (b"fmt ", fmt), (b"data", pcm)]
+        )
+        out = native.read_wav(str(path), target_sr=sr)
+        assert len(out) == sr
+        np.testing.assert_allclose(out, 0.25, atol=1e-3)
+
     def test_stereo_downmix(self, tmp_path):
         sr = 24000
         left = np.full(sr, 0.5, np.float32)
@@ -130,3 +178,12 @@ class TestBatchDecode:
     def test_missing_file(self, tmp_path):
         with pytest.raises(IOError):
             native.decode_batch([str(tmp_path / "missing.jpg")], 256, 224)
+
+    def test_crop_larger_than_scale_fails(self, tmp_path):
+        # rescaled short side (64) < crop (224): must be a counted failure,
+        # not an out-of-bounds read
+        img = np.full((300, 400, 3), 127, np.uint8)
+        p = tmp_path / "small.jpg"
+        cv2.imwrite(str(p), img)
+        with pytest.raises(IOError):
+            native.decode_batch([str(p)], scale_size=64, crop_size=224)
