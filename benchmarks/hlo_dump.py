@@ -22,14 +22,15 @@ def build_compiled(variant: str):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
+    from attention_based_tbn_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache_tpu",
         ),
+        min_compile_secs=10.0,
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from attention_based_tbn_tpu.config import load_config
     from benchmarks.infer_ab import build, make_batch
@@ -79,14 +80,15 @@ def build_compiled_train(extra_overrides=()):
     import numpy as np
     import optax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
+    from attention_based_tbn_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache_tpu",
         ),
+        min_compile_secs=10.0,
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from attention_based_tbn_tpu.config import load_config
     from attention_based_tbn_tpu.models.tbn import TBNModel, TBNSpec

@@ -54,12 +54,23 @@ def main():
         cfg, videos, "annotations/epic_train_val.csv",
         ["RGB", "Flow", "Audio"], mode="train",
     )
+    # Constructed by hand rather than via data.loader.create_dataloader so
+    # this benchmark stays jax-free (create_dataloader queries
+    # jax.process_count() for multi-host sharding, which would initialize
+    # the accelerator backend inside a host-only measurement). The
+    # arguments below MUST mirror create_dataloader's production values —
+    # in particular pack_visual, whose per-batch packing work is part of
+    # the host cost this benchmark exists to measure.
+    from attention_based_tbn_tpu.data.loader import visual_packing_enabled
+
     loader = DataLoader(
         dataset,
         batch_size=int(cfg.train.batch_size),
         shuffle=True,
         num_workers=num_workers,
-        seed=0,
+        seed=int(cfg.data.manual_seed),
+        prefetch=int(cfg.get_path("tpu.prefetch", 2) or 2),
+        pack_visual=visual_packing_enabled(cfg),
     )
 
     # warm one epoch-start (thread pool spin-up, file cache)

@@ -124,7 +124,7 @@ def main():
                 rng.standard_normal((n // g, h, w, g * ci)), dtype
             )
             ws = make_weights(rng, dtype, ci, widths, d3, b3, g)
-            t = measure(lambda x_, *w_: block(x_, w_ if False else ws, g), (x,))
+            t = measure(lambda x_, ws=ws, g=g: block(x_, ws, g), (x,))
             print(
                 json.dumps(
                     {"block": name, "groups": g, "ms": round(t * 1e3, 3)}

@@ -51,12 +51,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
+    from attention_based_tbn_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache_tpu",
-        ),
+        )
     )
 
     rng = np.random.default_rng(0)

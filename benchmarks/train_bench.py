@@ -24,12 +24,15 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache_tpu"),
+    from attention_based_tbn_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache_tpu",
+        ),
+        min_compile_secs=10.0,
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     import jax.numpy as jnp
 

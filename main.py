@@ -30,6 +30,8 @@ def main(argv=None):
     i = 0
     while i < len(argv):
         if argv[i] in ("--config-dir", "-cd"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"error: missing value for {argv[i]}")
             config_dir = argv[i + 1]
             i += 2
         else:
