@@ -30,10 +30,21 @@ _STEM_BN_TRAINABLE = ("conv1_7x7_s2", "conv1_1x3_s2", "conv1_3x1_s2")
 def lr_at_epoch(cfg, epoch: int) -> float:
     """Host-side LR schedule: MultiStepLR (+ optional warmup ramp).
 
-    MultiStepLR: lr * gamma^(number of milestones passed). Warmup
-    (GradualWarmupScheduler semantics): lr scales by
-    ``1 + (multiplier - 1) * epoch / warmup_epochs`` during warmup; for
-    multiplier == 1 the ramp is ``epoch / warmup_epochs``.
+    MultiStepLR: ``lr * gamma^(number of milestones passed)`` (reference
+    core/tools/train.py:193-199, torch MultiStepLR closed form).
+
+    Warmup matches GradualWarmupScheduler as driven by the reference
+    (core/tools/train.py:211-217 builds it, :292-293 calls
+    ``scheduler_warmup.step(epoch + 1)`` at the END of each epoch), so
+    epoch ``e`` trains at ramp position ``e``: ``base * e / T`` for
+    multiplier 1, else ``base * ((m - 1) * e / T + 1)``. After warmup
+    the wrapper steps the wrapped MultiStepLR with ``epoch - T`` from
+    base lrs scaled by the multiplier, i.e. the decay milestones are
+    offset by the warmup length. Documented divergence: the upstream
+    package serves ONE stale lr (the un-scaled base) for the first
+    post-warmup epoch before the hand-off settles; we use the intended
+    value ``base * m * gamma^(milestones <= e - T)`` for every
+    post-warmup epoch (see PARITY.md).
     """
     base = float(cfg.train.optim.lr)
     if cfg.train.optim.type.lower() == "adam":
@@ -41,24 +52,21 @@ def lr_at_epoch(cfg, epoch: int) -> float:
 
     steps = list(cfg.train.scheduler.lr_steps or [])
     gamma = float(cfg.train.scheduler.lr_decay)
-    lr = base * (gamma ** sum(1 for s in steps if epoch >= s))
 
     warm = cfg.train.warmup
-    if warm.enable:
-        total = max(int(warm.epochs), 1)
-        mult = float(warm.multiplier)
-        # scheduler.step(epoch + 1) in the reference -> ramp position is
-        # epoch + 1 capped at total
-        pos = min(epoch + 1, total)
-        if epoch + 1 <= total:
-            if mult == 1.0:
-                lr = base * pos / total
-            else:
-                lr = base * ((mult - 1.0) * pos / total + 1.0)
-        else:
-            # after warmup, the wrapped MultiStepLR takes over, scaled by mult
-            lr = lr * mult
-    return lr
+    if not warm.enable:
+        return base * (gamma ** sum(1 for s in steps if epoch >= s))
+
+    total = max(int(warm.epochs), 1)
+    mult = float(warm.multiplier)
+    if mult < 1.0:
+        raise ValueError("train.warmup.multiplier must be >= 1")
+    if epoch <= total:
+        if mult == 1.0:
+            return base * epoch / total
+        return base * ((mult - 1.0) * epoch / total + 1.0)
+    effective = epoch - total
+    return base * mult * (gamma ** sum(1 for s in steps if effective >= s))
 
 
 def _freeze_labels(params: Dict, cfg, modality) -> Dict:

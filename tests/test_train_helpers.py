@@ -35,9 +35,11 @@ class TestWarmupMultiplier:
                 "train.scheduler.lr_steps=[]",
             ]
         )
-        # GradualWarmupScheduler: lr = base * ((m-1) * (e+1)/T + 1)
-        assert lr_at_epoch(cfg, 0) == pytest.approx(0.01 * 1.25)
-        assert lr_at_epoch(cfg, 3) == pytest.approx(0.02)
+        # GradualWarmupScheduler stepped with (epoch+1) at epoch END:
+        # epoch e trains at lr = base * ((m-1) * e/T + 1)
+        assert lr_at_epoch(cfg, 0) == pytest.approx(0.01)
+        assert lr_at_epoch(cfg, 1) == pytest.approx(0.01 * 1.25)
+        assert lr_at_epoch(cfg, 4) == pytest.approx(0.02)
         # post-warmup: wrapped schedule scaled by the multiplier
         assert lr_at_epoch(cfg, 10) == pytest.approx(0.02)
 
@@ -52,7 +54,21 @@ class TestWarmupMultiplier:
                 "train.scheduler.lr_decay=0.1",
             ]
         )
-        assert lr_at_epoch(cfg, 6) == pytest.approx(0.01 * 0.1 * 2)
+        # milestones offset by the warmup length: the wrapped MultiStepLR
+        # is stepped with (epoch - warmup_epochs), so the epoch-5 milestone
+        # fires at wall epoch 7, not 5
+        assert lr_at_epoch(cfg, 6) == pytest.approx(0.02)
+        assert lr_at_epoch(cfg, 7) == pytest.approx(0.01 * 0.1 * 2)
+
+    def test_multiplier_below_one_rejected(self):
+        cfg = load_config(
+            overrides=[
+                "train.warmup.enable=True",
+                "train.warmup.multiplier=0.5",
+            ]
+        )
+        with pytest.raises(ValueError, match="multiplier"):
+            lr_at_epoch(cfg, 0)
 
 
 class TestGroupedDispatchSingleHostGuard:

@@ -74,10 +74,12 @@ class TestLRSchedule:
                 "train.scheduler.lr_steps": "[]",
             }
         )
-        lrs = [lr_at_epoch(cfg, e) for e in range(6)]
-        assert lrs[0] == pytest.approx(0.01 / 5)
-        assert lrs[4] == pytest.approx(0.01)
+        # step(epoch + 1) at epoch END -> epoch e trains at ramp position e
+        lrs = [lr_at_epoch(cfg, e) for e in range(7)]
+        assert lrs[0] == pytest.approx(0.0)
+        assert lrs[1] == pytest.approx(0.01 / 5)
         assert lrs[5] == pytest.approx(0.01)
+        assert lrs[6] == pytest.approx(0.01)
 
     def test_adam_constant(self):
         cfg = small_cfg(**{"train.optim.type": "adam"})
