@@ -71,6 +71,47 @@ class TestWarmupMultiplier:
             lr_at_epoch(cfg, 0)
 
 
+class TestTorchMultiStepLRDifferential:
+    """lr_at_epoch (warmup off) vs a REAL torch MultiStepLR driven exactly
+    like the reference loop (core/tools/train.py:195-199 builds it, :295
+    calls ``lr_scheduler.step()`` at the END of each epoch — so epoch e
+    trains at the lr in the optimizer after e steps)."""
+
+    @pytest.mark.parametrize(
+        "base,steps,gamma",
+        [
+            (0.01, [5, 10], 0.1),
+            (0.1, [], 0.5),
+            (0.02, [0, 3, 3, 7], 0.2),  # milestone at 0 and a repeat
+            (0.003, [1], 0.7),
+        ],
+    )
+    def test_matches_reference_stepping(self, base, steps, gamma):
+        torch = pytest.importorskip("torch")
+
+        cfg = load_config(
+            overrides=[
+                f"train.optim.lr={base}",
+                "train.warmup.enable=False",
+                "train.scheduler.lr_steps=[{}]".format(
+                    ",".join(str(s) for s in steps)
+                ),
+                f"train.scheduler.lr_decay={gamma}",
+            ]
+        )
+        param = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([param], lr=base)
+        sched = torch.optim.lr_scheduler.MultiStepLR(
+            opt, milestones=steps, gamma=gamma
+        )
+        for epoch in range(14):
+            torch_lr = opt.param_groups[0]["lr"]  # what epoch trains at
+            assert lr_at_epoch(cfg, epoch) == pytest.approx(
+                torch_lr, rel=1e-12
+            ), f"epoch {epoch}"
+            sched.step()  # reference: step at epoch end
+
+
 class TestGroupedDispatchSingleHostGuard:
     """tpu.steps_per_call>1 / tpu.fuse_accum stack batches eagerly on the
     host (flush_group), which multi-host global arrays cannot do — the
