@@ -14,8 +14,6 @@ import functools
 import os
 import threading
 import wave
-from typing import Optional
-
 import numpy as np
 from scipy import signal as scipy_signal
 

@@ -19,7 +19,7 @@ Layouts are batch-first/TPU-native: features (B, C), audio sequence (B, S, C).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

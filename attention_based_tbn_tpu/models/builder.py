@@ -9,7 +9,7 @@ Kinetics BN-Inception for Flow; reference bn_inception.py:38-107).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from .tbn import TBNModel, TBNSpec
 

@@ -23,7 +23,6 @@ from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
-from .bn_inception import BN_INCEPTION_BLOCKS
 
 INCEPTION_BRANCHES = (
     "double_3x3_reduce",

@@ -8,7 +8,7 @@ Parameter naming mirrors torchvision's so converted weights map 1:1.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

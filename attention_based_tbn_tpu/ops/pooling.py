@@ -15,7 +15,6 @@ from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 IntPair = Union[int, Tuple[int, int]]
 

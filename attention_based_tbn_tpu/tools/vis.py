@@ -10,7 +10,7 @@ curves, class-score bars) to PNG.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -22,7 +22,6 @@ from ..data.dataset import VideoDataset
 from ..data.loader import collate
 from ..models.builder import build_model
 from ..parallel.train_step import TrainState, make_infer_step
-from ..utils.checkpoint import restore_checkpoint
 
 
 def initialize(
