@@ -137,7 +137,7 @@ AUDIO_LENGTH = 1.28
 
 
 def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
-                 use_fixed=False, num_classes=None):
+                 use_fixed=False, num_classes=None, fusion_dropout=0.5):
     return NS(
         model=NS(
             arch="bninception",
@@ -154,7 +154,7 @@ def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
             agg_type="avg",
             freeze_base=False,
             freeze_mode="partialbn",
-            fusion_dropout=0.5,
+            fusion_dropout=fusion_dropout,
             resnet=NS(depth=50),
             vgg=NS(type="16"),
         ),
@@ -163,7 +163,7 @@ def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
 
 
 def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
-                seed=0):
+                seed=0, fusion_dropout=0.5):
     mods = load_reference_models()
     ref_model = mods["refmodels.model"]
     ref_audio = mods["refmodels.bn_inception_audio"]
@@ -189,13 +189,14 @@ def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
             return tower
 
     cfg = make_ref_cfg(attention_type=attention_type, enable=enable,
-                       use_pe=use_pe)
+                       use_pe=use_pe, fusion_dropout=fusion_dropout)
     oracle = OracleTBN(cfg, list(modality), torch.device("cpu"))
     randomize_state_dict(oracle, seed=seed)
     return oracle.eval()
 
 
-def make_ours(modality, attention_type="mha", enable=True, use_pe=True):
+def make_ours(modality, attention_type="mha", enable=True, use_pe=True,
+              fusion_dropout=0.5):
     spec = TBNSpec(
         modality=tuple(modality),
         arch="bninception",
@@ -207,6 +208,7 @@ def make_ours(modality, attention_type="mha", enable=True, use_pe=True):
         attn_win=ATTN_WIN,
         audio_stem=tuple(modality),  # all towers on the verbatim-graph stem
         audio_from_waveform=False,
+        fusion_dropout=fusion_dropout,
         compute_dtype="float32",
     )
     return TBNModel(spec)
@@ -399,6 +401,167 @@ class TestFullModelParity:
         ours = make_ours(modality, enable=False)
         got = apply_ours(ours, tbatch, oracle)
         assert_outputs_match(got, want)
+
+    def test_training_dynamics_parity(self):
+        """THREE full optimizer steps against the reference's own training
+        update (core/tools/train.py:69-99 with accumulator_step=1): SGD +
+        momentum + weight decay + global-norm grad clipping + live BN
+        statistics, on IDENTICAL batches.
+
+        Two-tier assertion:
+
+        * TIGHT, after step 1 — every updated parameter and running
+          statistic at fp32 tolerance. One step has no chaotic
+          amplification, so this catches update-semantics bugs outright
+          (clip-vs-weight-decay ordering, momentum-buffer init, BN EMA
+          momentum, lr plumbing).
+        * CHAOS-SCALED, over the 3-step trajectory — this training system
+          is measurably chaotic: perturbing ONE stem conv weight of the
+          pure-torch loop by 1e-6 moves the per-step total losses by
+          relative [1.1e-5, 1.3e-4, 4.3e-4] (Lyapunov factor ~30x/step),
+          so cross-backend fp32 conv noise lawfully grows to ~1e-3 by
+          step 3. Per-step loss tolerances below are that measured
+          envelope with ~5x headroom; a genuine semantics bug (wrong
+          momentum decay, clipped weight decay, stale BN stats) lands
+          orders of magnitude outside it.
+
+        Dropout is disabled (fusion_dropout=0, attention off) so train mode
+        is deterministic on both sides; clip_grad=1.0 is small enough that
+        the clip path actually fires (asserted)."""
+        modality = ("RGB", "Audio")
+        lr, momentum, wd, clip, steps = 0.05, 0.9, 1e-4, 1.0, 3
+
+        oracle = make_oracle(modality, enable=False, fusion_dropout=0.0)
+        oracle = oracle.train()
+        # convert the INITIAL weights before torch mutates them in place
+        params, stats = convert_tbn_checkpoint(
+            {k: v.clone() for k, v in oracle.state_dict().items()},
+            arch="bninception",
+        )
+
+        gen = torch.Generator().manual_seed(42)
+        batches = [torch_batch(modality, b=2, n=2, seed=100 + k)
+                   for k in range(steps)]
+        targets_t = {
+            "class": {
+                "verb": torch.randint(0, 7, (2,), generator=gen),
+                "noun": torch.randint(0, 9, (2,), generator=gen),
+            }
+        }
+
+        # --- reference loop (verbatim semantics) --------------------------
+        opt = torch.optim.SGD(
+            oracle.parameters(), lr, momentum=momentum, weight_decay=wd
+        )
+        criterion = {"crossentropy": nn.CrossEntropyLoss()}
+        want_losses = []
+        want_after_step1 = None
+        clipped = False
+        for k in range(steps):
+            opt.zero_grad()
+            out = oracle({key: v.clone() for key, v in batches[k].items()})
+            loss, _ = oracle.get_loss(criterion, targets_t, out)
+            loss["total"].backward()
+            norm = torch.nn.utils.clip_grad_norm_(oracle.parameters(), clip)
+            clipped = clipped or float(norm) > clip
+            opt.step()
+            want_losses.append(float(loss["total"].detach()))
+            if k == 0:
+                want_after_step1 = convert_tbn_checkpoint(
+                    {key: v.clone() for key, v in oracle.state_dict().items()},
+                    arch="bninception",
+                )
+        assert clipped, "clip_grad never fired — weak test, lower clip"
+
+        # --- our jitted train step ----------------------------------------
+        from attention_based_tbn_tpu.config import load_config
+        from attention_based_tbn_tpu.parallel.optim import build_optimizer
+        from attention_based_tbn_tpu.parallel.train_step import (
+            TrainState,
+            make_train_step,
+        )
+
+        cfg = load_config(
+            overrides=[
+                "model.pretrained=False",
+                "model.attention.enable=False",
+                "model.num_classes={verb: 7, noun: 9}",
+                "model.freeze_base=False",
+                "train.optim.type=sgd",
+                f"train.optim.lr={lr}",
+                f"train.optim.momentum={momentum}",
+                f"train.optim.weight_decay={wd}",
+                "train.optim.accumulator_step=1",
+                f"train.clip_grad={clip}",
+            ]
+        )
+        ours = make_ours(modality, enable=False, fusion_dropout=0.0)
+        tx, _ = build_optimizer(cfg, params, list(modality))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=stats,
+            opt_state=tx.init(params),
+        )
+        step_fn = make_train_step(ours, tx, cfg, mesh=None)
+
+        jtargets = {
+            "class": {
+                k: jnp.asarray(v.numpy()) for k, v in targets_t["class"].items()
+            }
+        }
+        def compare_trees(got, want, what, rtol, atol):
+            flat_got = jax.tree_util.tree_flatten_with_path(got)
+            flat_want = jax.tree_util.tree_flatten_with_path(want)
+            assert flat_got[1] == flat_want[1], f"{what}: tree mismatch"
+            count = 0
+            for (path, g), (_, w) in zip(flat_got[0], flat_want[0]):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=rtol, atol=atol,
+                    err_msg=f"{what} {jax.tree_util.keystr(path)}",
+                )
+                count += 1
+            return count
+
+        got_losses = []
+        for k in range(steps):
+            state, loss, _ = step_fn(
+                state, to_jax_batch(batches[k]), jtargets,
+                jax.random.key(0), jnp.asarray(0), 2,
+            )
+            got_losses.append(float(loss["total"]))
+            if k == 0:
+                # TIGHT tier: full state after ONE update, no amplification.
+                # atol floor 1e-4: cross-backend conv-backward noise on the
+                # largest grads reaches ~5e-5 absolute after lr scaling; a
+                # real update bug moves stem elements by O(update)~1e-3+.
+                n_params = compare_trees(
+                    state.params, want_after_step1[0], "step1 param",
+                    rtol=1e-3, atol=1e-4,
+                )
+                n_stats = compare_trees(
+                    state.batch_stats, want_after_step1[1], "step1 stat",
+                    rtol=1e-3, atol=1e-4,
+                )
+                assert n_params > 200 and n_stats > 100, (n_params, n_stats)
+
+        # CHAOS-SCALED tier: measured noise envelope (docstring) x ~5.
+        for k, (got, want) in enumerate(zip(got_losses, want_losses)):
+            tol = (1e-4, 1e-3, 5e-3)[k]
+            np.testing.assert_allclose(
+                got, want, rtol=tol, err_msg=f"loss at step {k}"
+            )
+
+        # Final state after 3 steps, at the same chaos-scaled envelope.
+        params_want, stats_want = convert_tbn_checkpoint(
+            {k: v.clone() for k, v in oracle.state_dict().items()},
+            arch="bninception",
+        )
+        compare_trees(state.params, params_want, "param", rtol=5e-3, atol=5e-4)
+        # atol 2e-3: near-zero deep-layer batch means carry the full chaos
+        # envelope as absolute error; an EMA bug would be O(0.1).
+        compare_trees(state.batch_stats, stats_want, "stat",
+                      rtol=1e-2, atol=2e-3)
 
     def test_ten_crop_alignment(self):
         """10-crop eval pairs each visual crop row with the SAME sample and
