@@ -9,8 +9,13 @@ model.py:148-176):
 * gradient accumulation (``optax.MultiSteps``, the reference's
   accumulator_step with its loss/k scaling);
 * freeze_base "all" (whole towers frozen) or "partialbn" (BN affine params
-  frozen except the stem's first BN(s); the Audio two-branch stem keeps both
-  stem BNs trainable, reference model.py:170-176).
+  frozen except the stem's FIRST BN, reference model.py:170-176). Note the
+  reference's Audio clause ``(modality == "Audio" and mod_no > 6) or
+  mod_no > 1`` is dead code — the ``or mod_no > 1`` short-circuits it, so
+  even on the two-branch audio stem only child index 1's BN
+  (conv1_1x3_s2_bn) stays trainable and conv1_3x1_s2_bn (child index 4)
+  is frozen. We reproduce the as-written behavior (see PARITY.md and
+  tests/test_whole_model_parity.py partialbn dynamics).
 
 The learning rate is injected via ``optax.inject_hyperparams`` so the host
 can retune it per epoch (torch-scheduler style) without recompilation.
@@ -23,8 +28,11 @@ from typing import Dict, Tuple
 import jax
 import optax
 
-# Stem modules whose BN affine params stay trainable under partialbn.
-_STEM_BN_TRAINABLE = ("conv1_7x7_s2", "conv1_1x3_s2", "conv1_3x1_s2")
+# Stem modules whose BN affine params stay trainable under partialbn:
+# the reference keeps only the tower's FIRST BN child trainable (see module
+# docstring) — conv1_7x7_s2_bn on the standard graph, conv1_1x3_s2_bn on the
+# two-branch audio stem (conv1_3x1_s2_bn is frozen by the as-written rule).
+_STEM_BN_TRAINABLE = ("conv1_7x7_s2", "conv1_1x3_s2")
 
 
 def lr_at_epoch(cfg, epoch: int) -> float:

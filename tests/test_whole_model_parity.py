@@ -137,7 +137,8 @@ AUDIO_LENGTH = 1.28
 
 
 def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
-                 use_fixed=False, num_classes=None, fusion_dropout=0.5):
+                 use_fixed=False, num_classes=None, fusion_dropout=0.5,
+                 freeze_base=False):
     return NS(
         model=NS(
             arch="bninception",
@@ -152,7 +153,7 @@ def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
                 use_gumbel=True,
             ),
             agg_type="avg",
-            freeze_base=False,
+            freeze_base=freeze_base,
             freeze_mode="partialbn",
             fusion_dropout=fusion_dropout,
             resnet=NS(depth=50),
@@ -163,7 +164,7 @@ def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
 
 
 def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
-                seed=0, fusion_dropout=0.5):
+                seed=0, fusion_dropout=0.5, freeze_base=False):
     mods = load_reference_models()
     ref_model = mods["refmodels.model"]
     ref_audio = mods["refmodels.bn_inception_audio"]
@@ -189,7 +190,8 @@ def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
             return tower
 
     cfg = make_ref_cfg(attention_type=attention_type, enable=enable,
-                       use_pe=use_pe, fusion_dropout=fusion_dropout)
+                       use_pe=use_pe, fusion_dropout=fusion_dropout,
+                       freeze_base=freeze_base)
     oracle = OracleTBN(cfg, list(modality), torch.device("cpu"))
     randomize_state_dict(oracle, seed=seed)
     return oracle.eval()
@@ -402,21 +404,20 @@ class TestFullModelParity:
         got = apply_ours(ours, tbatch, oracle)
         assert_outputs_match(got, want)
 
-    def test_training_dynamics_parity(self):
-        """THREE full optimizer steps against the reference's own training
-        update (core/tools/train.py:69-99 with accumulator_step=1): SGD +
-        momentum + weight decay + global-norm grad clipping + live BN
-        statistics, on IDENTICAL batches.
-
-        Two-tier assertion:
+    def _run_training_dynamics(self, oracle, modality, freeze_base,
+                               lr, momentum, wd, clip, steps):
+        """Drive `steps` full optimizer updates through BOTH the reference's
+        verbatim training loop (core/tools/train.py:69-99 with
+        accumulator_step=1) and our jitted train step, on IDENTICAL batches,
+        and assert the two-tier parity contract:
 
         * TIGHT, after step 1 — every updated parameter and running
           statistic at fp32 tolerance. One step has no chaotic
           amplification, so this catches update-semantics bugs outright
           (clip-vs-weight-decay ordering, momentum-buffer init, BN EMA
-          momentum, lr plumbing).
-        * CHAOS-SCALED, over the 3-step trajectory — this training system
-          is measurably chaotic: perturbing ONE stem conv weight of the
+          momentum, lr plumbing, freeze masks).
+        * CHAOS-SCALED, over the trajectory — this training system is
+          measurably chaotic: perturbing ONE stem conv weight of the
           pure-torch loop by 1e-6 moves the per-step total losses by
           relative [1.1e-5, 1.3e-4, 4.3e-4] (Lyapunov factor ~30x/step),
           so cross-backend fp32 conv noise lawfully grows to ~1e-3 by
@@ -425,19 +426,15 @@ class TestFullModelParity:
           momentum decay, clipped weight decay, stale BN stats) lands
           orders of magnitude outside it.
 
-        Dropout is disabled (fusion_dropout=0, attention off) so train mode
-        is deterministic on both sides; clip_grad=1.0 is small enough that
-        the clip path actually fires (asserted)."""
-        modality = ("RGB", "Audio")
-        lr, momentum, wd, clip, steps = 0.05, 0.9, 1e-4, 1.0, 3
-
-        oracle = make_oracle(modality, enable=False, fusion_dropout=0.0)
-        oracle = oracle.train()
+        Returns (initial (params, stats), final TrainState) for
+        caller-specific assertions. clip must be small enough that the
+        clip path actually fires (asserted)."""
         # convert the INITIAL weights before torch mutates them in place
         params, stats = convert_tbn_checkpoint(
             {k: v.clone() for k, v in oracle.state_dict().items()},
             arch="bninception",
         )
+        initial = (params, stats)
 
         gen = torch.Generator().manual_seed(42)
         batches = [torch_batch(modality, b=2, n=2, seed=100 + k)
@@ -486,7 +483,8 @@ class TestFullModelParity:
                 "model.pretrained=False",
                 "model.attention.enable=False",
                 "model.num_classes={verb: 7, noun: 9}",
-                "model.freeze_base=False",
+                f"model.freeze_base={freeze_base}",
+                "model.freeze_mode=partialbn",
                 "train.optim.type=sgd",
                 f"train.optim.lr={lr}",
                 f"train.optim.momentum={momentum}",
@@ -552,7 +550,7 @@ class TestFullModelParity:
                 got, want, rtol=tol, err_msg=f"loss at step {k}"
             )
 
-        # Final state after 3 steps, at the same chaos-scaled envelope.
+        # Final state, at the same chaos-scaled envelope.
         params_want, stats_want = convert_tbn_checkpoint(
             {k: v.clone() for k, v in oracle.state_dict().items()},
             arch="bninception",
@@ -562,6 +560,86 @@ class TestFullModelParity:
         # envelope as absolute error; an EMA bug would be O(0.1).
         compare_trees(state.batch_stats, stats_want, "stat",
                       rtol=1e-2, atol=2e-3)
+        return initial, state
+
+    def test_training_dynamics_parity(self):
+        """Three full optimizer steps, every parameter trainable: SGD +
+        momentum + weight decay + global-norm clip + live BN statistics
+        against the reference's verbatim loop (see _run_training_dynamics
+        for the two-tier tolerance contract)."""
+        modality = ("RGB", "Audio")
+        oracle = make_oracle(modality, enable=False, fusion_dropout=0.0)
+        self._run_training_dynamics(
+            oracle.train(), modality, freeze_base=False,
+            lr=0.05, momentum=0.9, wd=1e-4, clip=1.0, steps=3,
+        )
+
+    @pytest.mark.slow
+    def test_partialbn_training_dynamics_parity(self):
+        """Two full optimizer steps with freeze_base=True partialbn: the
+        reference freezes BN affine params via requires_grad=False
+        (model.py:148-176) — torch then excludes them from BOTH the update
+        and clip_grad_norm_'s global norm, while their running statistics
+        keep updating in train mode. Our side expresses the same thing as
+        optax.multi_transform freeze masks, whose partitioning must also
+        exclude frozen leaves from clip_by_global_norm.
+
+        Also pins the reference's as-written freeze set on the two-branch
+        audio stem: the `(modality == "Audio" and mod_no > 6)` clause is
+        DEAD CODE (`or mod_no > 1` short-circuits it), so only child index
+        1's BN (conv1_1x3_s2_bn) stays trainable and conv1_3x1_s2_bn is
+        frozen — asserted on the torch side from requires_grad and on our
+        side from the actual update."""
+        modality = ("RGB", "Audio")
+        oracle = make_oracle(
+            modality, enable=False, fusion_dropout=0.0, freeze_base=True
+        ).train()
+
+        # the as-written reference freeze set, read off requires_grad
+        frozen = {n for n, p in oracle.named_parameters()
+                  if not p.requires_grad}
+        assert "Base_RGB.conv1_1x3_s2_bn.weight" not in frozen
+        assert "Base_RGB.conv1_3x1_s2_bn.weight" in frozen  # dead Audio clause
+        assert "Base_Audio.conv1_3x1_s2_bn.weight" in frozen
+        assert "Base_Audio.conv2_3x3_bn.weight" in frozen
+        assert not any(n.startswith("fusion") or n.startswith("classifier")
+                       for n in frozen)
+
+        (params0, stats0), state = self._run_training_dynamics(
+            oracle, modality, freeze_base=True,
+            lr=0.05, momentum=0.9, wd=1e-4, clip=1.0, steps=2,
+        )
+
+        def leaf(tree, *path):
+            node = tree
+            for key in path:
+                node = node[key]
+            return np.asarray(node)
+
+        for tower in ("Base_RGB", "Base_Audio"):
+            # frozen BN affine: bitwise-unchanged through 2 updates
+            np.testing.assert_array_equal(
+                leaf(state.params, tower, "conv1_3x1_s2", "bn", "scale"),
+                leaf(params0, tower, "conv1_3x1_s2", "bn", "scale"),
+            )
+            np.testing.assert_array_equal(
+                leaf(state.params, tower, "inception_3a", "1x1", "bn", "bias"),
+                leaf(params0, tower, "inception_3a", "1x1", "bn", "bias"),
+            )
+            # trainable stem BN and convs: actually updated
+            assert not np.array_equal(
+                leaf(state.params, tower, "conv1_1x3_s2", "bn", "scale"),
+                leaf(params0, tower, "conv1_1x3_s2", "bn", "scale"),
+            )
+            assert not np.array_equal(
+                leaf(state.params, tower, "conv1_3x1_s2", "conv", "kernel"),
+                leaf(params0, tower, "conv1_3x1_s2", "conv", "kernel"),
+            )
+            # frozen BN running stats STILL update (train mode, no eval())
+            assert not np.array_equal(
+                leaf(state.batch_stats, tower, "conv1_3x1_s2", "bn", "mean"),
+                leaf(stats0, tower, "conv1_3x1_s2", "bn", "mean"),
+            )
 
     def test_ten_crop_alignment(self):
         """10-crop eval pairs each visual crop row with the SAME sample and
