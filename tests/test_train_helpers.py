@@ -240,3 +240,143 @@ class TestGroupedDispatchTailFlush:
         steps, rows = self._run_epoch([8, 8, 8, 8], group_len=4)
         assert steps == 4
         assert rows == [(8, 8)] * 4
+
+
+class TestTorchOptimizerChainDifferential:
+    """The full optimizer chain (clip_by_global_norm -> +wd*p ->
+    SGD-momentum / Adam, under the multi_transform freeze partition and
+    inject_hyperparams lr plumbing, parallel/optim.build_optimizer) vs the
+    REAL torch optimizers driven exactly like the reference loop
+    (core/tools/train.py:84-94: clip_grad_norm_ over model.parameters()
+    then opt.step()), on IDENTICAL synthetic gradients for 10 steps.
+
+    The whole-model dynamics tests (test_whole_model_parity.py) can only
+    compare Adam for a single step (its sign-quantized updates amplify
+    backend noise); this chain-only differential pins the multi-step
+    semantics exactly: moment/trace accumulation, bias correction over t,
+    clip firing on some steps only, frozen leaves excluded from the global
+    norm, and a mid-stream lr retune (the torch-scheduler pattern).
+    """
+
+    def _tree(self, gen, torch):
+        def t(*shape):
+            return torch.randn(*shape, generator=gen)
+
+        return {
+            "Base_RGB": {
+                "conv1_7x7_s2": {"bn": {"scale": t(8), "bias": t(8)}},
+                "conv2_3x3": {"bn": {"scale": t(8), "bias": t(8)}},
+                "inception_3a": {"1x1": {"conv": {"kernel": t(3, 3, 4, 8)}}},
+            },
+            "fusion": {"kernel": t(16, 8), "bias": t(8)},
+            "classifier": {"verb": {"kernel": t(8, 7), "bias": t(7)}},
+        }
+
+    @pytest.mark.parametrize("optim_type", ["sgd", "adam"])
+    def test_matches_torch_updates(self, optim_type):
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from attention_based_tbn_tpu.parallel.optim import (
+            build_optimizer,
+            set_learning_rate,
+        )
+
+        lr, momentum, wd, clip, steps = 0.02, 0.9, 1e-3, 0.5, 10
+        cfg = load_config(
+            overrides=[
+                "model.freeze_base=True",
+                "model.freeze_mode=partialbn",
+                f"train.optim.type={optim_type}",
+                f"train.optim.lr={lr}",
+                f"train.optim.momentum={momentum}",
+                f"train.optim.weight_decay={wd}",
+                "train.optim.accumulator_step=1",
+                f"train.clip_grad={clip}",
+            ]
+        )
+
+        gen = torch.Generator().manual_seed(7)
+        torch_params = self._tree(gen, torch)
+        flat_t, treedef = jax.tree_util.tree_flatten_with_path(torch_params)
+
+        # partialbn on this tree freezes exactly the non-stem BN affine
+        frozen_paths = {
+            "['Base_RGB']['conv2_3x3']['bn']['scale']",
+            "['Base_RGB']['conv2_3x3']['bn']['bias']",
+        }
+
+        leaves = []
+        for path, value in flat_t:
+            key = jax.tree_util.keystr(path)
+            p = torch.nn.Parameter(
+                value.clone(), requires_grad=key not in frozen_paths
+            )
+            leaves.append((key, p))
+        # .numpy() SHARES memory with the torch tensor and jnp.asarray may
+        # defer its device copy — torch's later in-place opt.step() would
+        # then corrupt these leaves. Copy at the boundary.
+        params = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(p.detach().numpy().copy()) for _, p in leaves]
+        )
+
+        if optim_type == "adam":
+            opt = torch.optim.Adam(
+                [p for _, p in leaves], lr, betas=(0.9, 0.999),
+                weight_decay=wd,
+            )
+        else:
+            opt = torch.optim.SGD(
+                [p for _, p in leaves], lr, momentum=momentum,
+                weight_decay=wd,
+            )
+
+        tx, labels = build_optimizer(cfg, params, ["RGB"])
+        flat_labels = jax.tree_util.tree_flatten_with_path(labels)[0]
+        assert {jax.tree_util.keystr(p) for p, l in flat_labels
+                if l == "freeze"} == frozen_paths
+        opt_state = tx.init(params)
+
+        for step in range(steps):
+            if step == 5:  # mid-stream retune, torch-scheduler style
+                for group in opt.param_groups:
+                    group["lr"] = lr * 0.1
+                set_learning_rate(opt_state, lr * 0.1)
+
+            # gradient scale varies so the clip fires on SOME steps only;
+            # frozen leaves get a HUGE grad — if the chain wrongly fed
+            # them into the global norm, every update would shift
+            scale = (10.0, 0.01)[step % 2]
+            grads_t = []
+            for key, p in leaves:
+                g = torch.randn(p.shape, generator=gen) * scale
+                if key in frozen_paths:
+                    g = g * 1e6
+                grads_t.append(g)
+
+            opt.zero_grad()
+            for (_, p), g in zip(leaves, grads_t):
+                if p.requires_grad:
+                    p.grad = g.clone()
+            norm = torch.nn.utils.clip_grad_norm_(
+                [p for _, p in leaves], clip
+            )
+            opt.step()
+
+            grads = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(g.numpy().copy()) for g in grads_t]
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+            for (key, p), (path, ours) in zip(leaves, flat_ours):
+                assert key == jax.tree_util.keystr(path)
+                np.testing.assert_allclose(
+                    np.asarray(ours), p.detach().numpy(),
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"{optim_type} step {step} {key} "
+                            f"(clip norm {float(norm):.3f})",
+                )

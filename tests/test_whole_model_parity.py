@@ -405,7 +405,8 @@ class TestFullModelParity:
         assert_outputs_match(got, want)
 
     def _run_training_dynamics(self, oracle, modality, freeze_base,
-                               lr, momentum, wd, clip, steps):
+                               lr, momentum, wd, clip, steps,
+                               optim_type="sgd"):
         """Drive `steps` full optimizer updates through BOTH the reference's
         verbatim training loop (core/tools/train.py:69-99 with
         accumulator_step=1) and our jitted train step, on IDENTICAL batches,
@@ -447,9 +448,15 @@ class TestFullModelParity:
         }
 
         # --- reference loop (verbatim semantics) --------------------------
-        opt = torch.optim.SGD(
-            oracle.parameters(), lr, momentum=momentum, weight_decay=wd
-        )
+        if optim_type == "adam":
+            # reference core/tools/train.py:203-209
+            opt = torch.optim.Adam(
+                oracle.parameters(), lr, betas=(0.9, 0.999), weight_decay=wd
+            )
+        else:
+            opt = torch.optim.SGD(
+                oracle.parameters(), lr, momentum=momentum, weight_decay=wd
+            )
         criterion = {"crossentropy": nn.CrossEntropyLoss()}
         want_losses = []
         want_after_step1 = None
@@ -485,7 +492,7 @@ class TestFullModelParity:
                 "model.num_classes={verb: 7, noun: 9}",
                 f"model.freeze_base={freeze_base}",
                 "model.freeze_mode=partialbn",
-                "train.optim.type=sgd",
+                f"train.optim.type={optim_type}",
                 f"train.optim.lr={lr}",
                 f"train.optim.momentum={momentum}",
                 f"train.optim.weight_decay={wd}",
@@ -508,17 +515,56 @@ class TestFullModelParity:
                 k: jnp.asarray(v.numpy()) for k, v in targets_t["class"].items()
             }
         }
-        def compare_trees(got, want, what, rtol, atol):
+        def is_convbn_bias(path):
+            # PARITY.md divergence 3: conv biases under live BN have a
+            # mathematically-zero gradient that we compute exactly while
+            # torch computes fp32 noise. SGD turns the noise into
+            # negligible updates, but Adam's per-element normalization
+            # turns it into sign-driven O(lr) random-walk steps — on a
+            # parameter with NO effect on model outputs (BN cancels it).
+            # Excluded from the parameter comparison on both tiers.
+            keys = [getattr(p, "key", None) for p in path]
+            return (keys and keys[-1] == "bias" and "conv" in keys
+                    and str(keys[0]).startswith("Base_"))
+
+        def compare_trees(got, want, what, rtol, atol,
+                          outlier_frac=0.0, outlier_bound=0.0):
+            """Elementwise allclose over the tree, with an optional budget
+            of bounded outliers. Adam's step-1 update is lr*sign(g) for ANY
+            gradient above eps, so elements whose true gradient is ~0 take
+            a full +/-lr step in a backend-noise-chosen direction: isolated
+            cross-backend sign flips of magnitude <= the Adam step quantum
+            are inherent, not a semantics bug. outlier_frac caps how many
+            elements may exceed (rtol, atol); outlier_bound caps each such
+            element's absolute difference at the step-quantum bound."""
             flat_got = jax.tree_util.tree_flatten_with_path(got)
             flat_want = jax.tree_util.tree_flatten_with_path(want)
             assert flat_got[1] == flat_want[1], f"{what}: tree mismatch"
-            count = 0
+            count, total, n_out = 0, 0, 0
             for (path, g), (_, w) in zip(flat_got[0], flat_want[0]):
-                np.testing.assert_allclose(
-                    np.asarray(g), np.asarray(w), rtol=rtol, atol=atol,
-                    err_msg=f"{what} {jax.tree_util.keystr(path)}",
-                )
+                if is_convbn_bias(path):
+                    continue
+                g, w = np.asarray(g), np.asarray(w)
+                if outlier_frac == 0.0:
+                    np.testing.assert_allclose(
+                        g, w, rtol=rtol, atol=atol,
+                        err_msg=f"{what} {jax.tree_util.keystr(path)}",
+                    )
+                else:
+                    diff = np.abs(g - w)
+                    viol = diff > (atol + rtol * np.abs(w))
+                    assert diff[viol].max(initial=0.0) <= outlier_bound, (
+                        f"{what} {jax.tree_util.keystr(path)}: outlier "
+                        f"{diff[viol].max():.3e} > bound {outlier_bound:.3e}"
+                    )
+                    n_out += int(viol.sum())
+                    total += g.size
                 count += 1
+            if outlier_frac:
+                assert n_out <= outlier_frac * total, (
+                    f"{what}: {n_out}/{total} outliers exceeds "
+                    f"budget {outlier_frac:.2%}"
+                )
             return count
 
         got_losses = []
@@ -533,9 +579,14 @@ class TestFullModelParity:
                 # atol floor 1e-4: cross-backend conv-backward noise on the
                 # largest grads reaches ~5e-5 absolute after lr scaling; a
                 # real update bug moves stem elements by O(update)~1e-3+.
+                # Adam gets a 2% budget of sign-flip outliers bounded by
+                # the per-step quantum (see compare_trees docstring).
+                adam = optim_type == "adam"
                 n_params = compare_trees(
                     state.params, want_after_step1[0], "step1 param",
                     rtol=1e-3, atol=1e-4,
+                    outlier_frac=0.02 if adam else 0.0,
+                    outlier_bound=2.2 * lr if adam else 0.0,
                 )
                 n_stats = compare_trees(
                     state.batch_stats, want_after_step1[1], "step1 stat",
@@ -544,10 +595,15 @@ class TestFullModelParity:
                 assert n_params > 200 and n_stats > 100, (n_params, n_stats)
 
         # CHAOS-SCALED tier: measured noise envelope (docstring) x ~5.
+        # Adam is far coarser past step 0: its first update is +/-lr on
+        # EVERY element, so the ~1-2% backend-noise sign-flip set displaces
+        # the model by ||delta|| ~ lr*sqrt(0.02*N) before step 1's forward;
+        # the semantics contract lives in the param-state compares.
+        loss_tols = ((1e-4, 5e-2, 1e-1) if optim_type == "adam"
+                     else (1e-4, 1e-3, 5e-3))
         for k, (got, want) in enumerate(zip(got_losses, want_losses)):
-            tol = (1e-4, 1e-3, 5e-3)[k]
             np.testing.assert_allclose(
-                got, want, rtol=tol, err_msg=f"loss at step {k}"
+                got, want, rtol=loss_tols[k], err_msg=f"loss at step {k}"
             )
 
         # Final state, at the same chaos-scaled envelope.
@@ -555,11 +611,16 @@ class TestFullModelParity:
             {k: v.clone() for k, v in oracle.state_dict().items()},
             arch="bninception",
         )
-        compare_trees(state.params, params_want, "param", rtol=5e-3, atol=5e-4)
+        adam = optim_type == "adam"
+        compare_trees(state.params, params_want, "param", rtol=5e-3, atol=5e-4,
+                      outlier_frac=0.03 if adam else 0.0,
+                      outlier_bound=2.2 * lr * steps if adam else 0.0)
         # atol 2e-3: near-zero deep-layer batch means carry the full chaos
         # envelope as absolute error; an EMA bug would be O(0.1).
         compare_trees(state.batch_stats, stats_want, "stat",
-                      rtol=1e-2, atol=2e-3)
+                      rtol=1e-2, atol=2e-3,
+                      outlier_frac=0.03 if adam else 0.0,
+                      outlier_bound=2.2 * lr * steps if adam else 0.0)
         return initial, state
 
     def test_training_dynamics_parity(self):
@@ -640,6 +701,29 @@ class TestFullModelParity:
                 leaf(state.batch_stats, tower, "conv1_3x1_s2", "bn", "mean"),
                 leaf(stats0, tower, "conv1_3x1_s2", "bn", "mean"),
             )
+
+    @pytest.mark.slow
+    def test_adam_training_dynamics_parity(self):
+        """ONE full Adam update against the reference's construction
+        (core/tools/train.py:203-209: betas (0.9, 0.999), torch-default
+        eps 1e-8, COUPLED L2 weight decay folded into the gradient before
+        the moment updates — not AdamW). One step is the whole-model limit
+        for Adam: its update is lr*sign(g) for every element, so after the
+        backend-noise sign-flip set (~1.4% of 21.5M elements) displaces the
+        model, a majority of step-2 tiny-gradient signs are pure noise —
+        measured 63% elementwise divergence at step 2, uninformative. A
+        construction bug still fails loudly here (e.g. missing bias
+        correction scales EVERY update 3.16x at t=1, busting the 2%
+        outlier budget). Multi-step Adam moment dynamics are validated
+        exactly, chain-only, in tests/test_train_helpers.py
+        TestTorchOptimizerChainDifferential."""
+        modality = ("RGB", "Audio")
+        oracle = make_oracle(modality, enable=False, fusion_dropout=0.0)
+        self._run_training_dynamics(
+            oracle.train(), modality, freeze_base=False,
+            lr=0.01, momentum=0.0, wd=1e-4, clip=1.0, steps=1,
+            optim_type="adam",
+        )
 
     def test_ten_crop_alignment(self):
         """10-crop eval pairs each visual crop row with the SAME sample and
