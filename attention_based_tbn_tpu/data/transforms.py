@@ -127,8 +127,11 @@ def multi_scale_crop(
         offsets = fixed_crop_offsets(img_w, img_h, crop_w, crop_h, more_fix_crop)
         x0, y0 = offsets[rng.integers(len(offsets))]
     else:
-        x0 = int(rng.integers(0, img_w - crop_w))
-        y0 = int(rng.integers(0, img_h - crop_h))
+        # reference transform.py uses random.randint (INCLUSIVE upper
+        # bound): the rightmost/bottom offset is reachable, and a crop the
+        # full image size is valid (offset 0).
+        x0 = int(rng.integers(0, img_w - crop_w + 1))
+        y0 = int(rng.integers(0, img_h - crop_h + 1))
 
     cropped = crop_at(frames, y0, x0, crop_h, crop_w)
     return rescale(cropped, (input_size, input_size))
