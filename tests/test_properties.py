@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from attention_based_tbn_tpu.config import load_config
 from attention_based_tbn_tpu.data.audio import extract_window
 from attention_based_tbn_tpu.data.loader import pad_batch
 from attention_based_tbn_tpu.data.records import EpicRecord
@@ -266,3 +267,149 @@ class TestSTFTProps:
         assert got.shape == (n_fft // 2 + 1, len(frames))
         assert num_frames(sig_len, n_fft, hop) == len(frames)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestMetricProps:
+    """Metric accumulators (reference core/utils/metric.py:50-157) vs a
+    naive per-sample python reimplementation: per-head top-k percentages,
+    all_class product-of-correctness, confusion matrices, pad-row masking
+    via true_bs, and the consumed-batch denominator."""
+
+    ROWS, NV, NN = 6, 5, 7  # fixed shapes: one jit trace for the suite
+
+    @given(
+        data=st.data(),
+        n_batches=st.integers(1, 3),
+    )
+    @settings(deadline=None, max_examples=25)
+    def test_matches_naive_accounting(self, data, n_batches):
+        import jax.numpy as jnp
+
+        from attention_based_tbn_tpu.utils.metrics import Metric
+
+        cfg = load_config(
+            overrides=[
+                "model.num_classes={verb: %d, noun: %d}" % (self.NV, self.NN),
+                "val.topk=[1, 3]",
+                "model.attention.enable=False",
+            ]
+        )
+        metric = Metric(cfg, no_batches=n_batches)
+
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+        want_acc = {"verb": np.zeros(2), "noun": np.zeros(2),
+                    "all_class": np.zeros(2)}
+        want_conf = {"verb": np.zeros((self.NV, self.NV)),
+                     "noun": np.zeros((self.NN, self.NN))}
+        classes = {"verb": self.NV, "noun": self.NN}
+
+        for _ in range(n_batches):
+            true_bs = data.draw(st.integers(1, self.ROWS))
+            preds = {k: rng.standard_normal((self.ROWS, n)).astype(np.float32)
+                     for k, n in classes.items()}
+            labels = {k: rng.integers(0, n, size=self.ROWS)
+                      for k, n in classes.items()}
+            metric.update(
+                {k: jnp.asarray(v) for k, v in preds.items()},
+                {"class": {k: jnp.asarray(v) for k, v in labels.items()}},
+                {"verb": jnp.asarray(0.0), "noun": jnp.asarray(0.0),
+                 "all_class": jnp.asarray(0.0), "total": jnp.asarray(0.0)},
+                batch_size=true_bs,
+            )
+
+            within = {}
+            for key, n in classes.items():
+                order = np.argsort(-preds[key], axis=1)
+                ranks = np.argmax(order == labels[key][:, None], axis=1)
+                within[key] = ranks[:, None] < np.asarray([1, 3])[None, :]
+                for row in range(true_bs):
+                    want_conf[key][labels[key][row], order[row, 0]] += 1
+            for ki in range(2):
+                for key in classes:
+                    want_acc[key][ki] += (
+                        within[key][:true_bs, ki].sum() * 100.0 / true_bs
+                    )
+                want_acc["all_class"][ki] += (
+                    (within["verb"][:true_bs, ki] & within["noun"][:true_bs, ki])
+                    .sum() * 100.0 / true_bs
+                )
+
+        _, acc, conf = metric.compute()
+        for key in ("verb", "noun", "all_class"):
+            np.testing.assert_allclose(
+                acc[key], np.round(want_acc[key] / n_batches, 2), atol=0.011,
+                err_msg=key,
+            )
+        for key in ("verb", "noun"):
+            np.testing.assert_array_equal(conf[key], want_conf[key])
+
+
+class TestPriorProps:
+    """data/priors.py vs reference dataset.py:534-575 / attention.py:121-124."""
+
+    @given(length=st.floats(0.1, 10.0))
+    @settings(**COMMON)
+    def test_window_size_formula(self, length):
+        from attention_based_tbn_tpu.data.priors import attention_window_size
+
+        assert attention_window_size(length) == round(length * 25 / 4)
+
+    @given(win=st.integers(1, 31))
+    @settings(**COMMON)
+    def test_gaussian_uniform_normalized(self, win):
+        from attention_based_tbn_tpu.data.priors import (
+            gaussian_prior,
+            uniform_prior,
+        )
+
+        for prior in (gaussian_prior(win), uniform_prior(win)):
+            assert prior.shape == (win, 1) and prior.dtype == np.float32
+            # sigma-1 float32 tails underflow to exact 0 past ~13 taps
+            assert (prior >= 0).all()
+            np.testing.assert_allclose(prior.sum(), 1.0, rtol=1e-5)
+
+    @given(
+        win=st.integers(5, 16),
+        t_blocks=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(**COMMON)
+    def test_loud_prior_structure(self, win, t_blocks, seed):
+        from attention_based_tbn_tpu.data.priors import (
+            gaussian_prior,
+            loud_prior,
+        )
+
+        rng = np.random.default_rng(seed)
+        spec = rng.standard_normal((16, t_blocks * win)).astype(np.float32)
+        out = loud_prior(spec, win)
+        assert out.shape == (win, 1) and out.dtype == np.float32
+        assert (out >= 0).all()
+
+        gauss = gaussian_prior(win)
+        loudness = [
+            spec[:, i : i + win].max() for i in range(0, spec.shape[1], win)
+        ]
+        loudest = int(np.argsort(loudness)[-1])
+        center = win // 2
+        if loudest > win or (center - 2 <= loudest <= center + 2):
+            # gate closed: prior stays the centred gaussian
+            np.testing.assert_allclose(out, gauss, rtol=1e-6)
+        elif loudest < win:
+            # rolled: the gaussian peak survives (flattening keeps the
+            # +/-4 window around it) and lands at the loudest block index
+            # — cv2's EVEN kernels carry a double peak at (center-1,
+            # center), and a wrap-around roll can place either tap first.
+            assert np.max(out) == np.max(gauss)
+            assert out.argmax() in {(loudest - 1) % win, loudest % win}
+        # loudest == win: documented reference quirk (the roll pushes the
+        # peak off the end before flattening) — shape/dtype claims only
+
+    @pytest.mark.parametrize("ksize", [3, 5, 7, 9, 13, 25])
+    def test_gaussian_matches_cv2(self, ksize):
+        cv2 = pytest.importorskip("cv2")
+
+        from attention_based_tbn_tpu.data.priors import gaussian_kernel
+
+        want = np.asarray(cv2.getGaussianKernel(ksize, 1.0))
+        np.testing.assert_allclose(gaussian_kernel(ksize, 1.0), want, rtol=1e-12)
