@@ -21,8 +21,11 @@ Usage::
     curl -s localhost:8080/healthz
 
 The ``.npz`` request must contain one array per manifest input (same
-names/shapes/dtypes); the response ``.npz`` holds one array per manifest
-output name.
+names/dtypes/trailing shapes); the response ``.npz`` holds one array per
+manifest output name. Requests may carry any batch 1..compiled_batch —
+rows are padded to the compiled shape (repeating the first sample, the
+training loader's convention) and per-row outputs trimmed back, so one
+batch-static executable serves ragged client batches.
 """
 
 from __future__ import annotations
@@ -93,25 +96,50 @@ class ServingModel:
                 batch[name] = (rng.standard_normal(shape) * 0.1).astype(dtype)
         return batch
 
-    def _check(self, batch: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    def _check(self, batch: Dict[str, np.ndarray]) -> tuple:
+        """Validate inputs; returns (leaves, true_batch).
+
+        Requests smaller than the compiled batch are accepted: every input
+        must carry the SAME leading batch b <= compiled batch, rows are
+        padded by repeating the first sample (the training loader's pad
+        convention, data/loader.pad_batch) and outputs are trimmed back in
+        predict(). The module is batch-static — one executable, any b."""
         if set(batch) != set(self._input_specs):
             raise ValueError(
                 f"inputs {sorted(batch)} != manifest {sorted(self._input_specs)}"
             )
+        compiled_bs = next(iter(self._input_specs.values()))[0][0]
+        true_bs = None
         leaves = []
         for name in sorted(batch):  # pytree dict order = sorted keys
             shape, dtype = self._input_specs[name]
             arr = np.asarray(batch[name])
-            if arr.shape != shape or arr.dtype != dtype:
+            if arr.dtype != dtype or arr.shape[1:] != shape[1:] or arr.ndim != len(shape):
                 raise ValueError(
                     f"input {name!r}: got {arr.dtype}{list(arr.shape)}, "
                     f"module compiled for {dtype}{list(shape)}"
                 )
-            leaves.append(arr)
-        return leaves
+            if not 1 <= arr.shape[0] <= shape[0]:
+                raise ValueError(
+                    f"input {name!r}: batch {arr.shape[0]} outside "
+                    f"[1, {shape[0]}] (module compiled for batch {shape[0]})"
+                )
+            if true_bs is None:
+                true_bs = arr.shape[0]
+            elif arr.shape[0] != true_bs:
+                raise ValueError(
+                    f"input {name!r}: batch {arr.shape[0]} != {true_bs} of "
+                    "the other inputs"
+                )
+            if arr.shape[0] < shape[0]:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[:1], shape[0] - arr.shape[0], axis=0)]
+                )
+            leaves.append(np.ascontiguousarray(arr))
+        return leaves, (true_bs, compiled_bs)
 
     def predict(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        leaves = self._check(batch)
+        leaves, (true_bs, compiled_bs) = self._check(batch)
         bufs = self._param_bufs + [
             self._client.buffer_from_pyval(a, self._device) for a in leaves
         ]
@@ -133,6 +161,18 @@ class ServingModel:
             ]
         else:
             names = self._output_names
+        if true_bs < compiled_bs:
+            # trim pad rows: any output whose leading dim is a multiple
+            # k*compiled_bs is per-row data (k=1 logits, k=segments for
+            # attention weights on the folded batch) — keep k*true_bs rows
+            trimmed = []
+            for arr in arrays:
+                lead = arr.shape[0] if arr.ndim else 0
+                if lead and lead % compiled_bs == 0:
+                    k = lead // compiled_bs
+                    arr = arr[: k * true_bs]
+                trimmed.append(arr)
+            arrays = trimmed
         return dict(zip(names, arrays))
 
 

@@ -78,7 +78,10 @@ def test_serving_model_validates_inputs(bundle):
     sm = ServingModel(os.path.dirname(paths["manifest"]))
     batch = sm.example_batch()
     with pytest.raises(ValueError, match="compiled for"):
-        bad = {"RGB": batch["RGB"][:1]}  # wrong batch size
+        bad = {"RGB": batch["RGB"][:, :, :32]}  # wrong spatial shape
+        sm.predict(bad)
+    with pytest.raises(ValueError, match="compiled for"):
+        bad = {"RGB": batch["RGB"].astype(np.float32)}  # wrong dtype
         sm.predict(bad)
     with pytest.raises(ValueError, match="manifest"):
         sm.predict({"Flow": batch["RGB"]})
@@ -149,3 +152,40 @@ def test_http_round_trip(bundle):
             assert err.code == 400
     finally:
         server.shutdown()
+
+
+def test_ragged_batch_pads_and_trims(bundle):
+    """Requests smaller than the compiled batch are padded by repeating the
+    first row (loader convention) and the outputs trimmed back — row 0 of a
+    b=1 request must equal row 0 of the full-batch run, and every output's
+    leading dim must scale with the true batch."""
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    paths, _, _, _ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    full = sm.example_batch(seed=7)
+    want = sm.predict(full)
+
+    ragged = {k: v[:1] for k, v in full.items()}
+    got = sm.predict(ragged)
+    compiled_bs = next(iter(full.values())).shape[0]
+    for name, arr in got.items():
+        lead_full = want[name].shape[0]
+        assert arr.shape[0] == lead_full // compiled_bs  # k*1 rows
+        np.testing.assert_allclose(
+            arr, want[name][: arr.shape[0]], rtol=1e-6, atol=1e-6,
+            err_msg=name,
+        )
+
+    # batch mismatch across inputs and oversize batches are rejected
+    if len(full) > 1:
+        bad = dict(full)
+        first = sorted(bad)[0]
+        bad[first] = bad[first][:1]
+        with pytest.raises(ValueError, match="batch"):
+            sm.predict(bad)
+    over = {k: np.concatenate([v, v]) for k, v in full.items()}
+    with pytest.raises(ValueError, match="outside"):
+        sm.predict(over)
