@@ -127,11 +127,15 @@ def multi_scale_crop(
         offsets = fixed_crop_offsets(img_w, img_h, crop_w, crop_h, more_fix_crop)
         x0, y0 = offsets[rng.integers(len(offsets))]
     else:
-        # reference transform.py uses random.randint (INCLUSIVE upper
-        # bound): the rightmost/bottom offset is reachable, and a crop the
-        # full image size is valid (offset 0).
-        x0 = int(rng.integers(0, img_w - crop_w + 1))
-        y0 = int(rng.integers(0, img_h - crop_h + 1))
+        # reference transform.py:373-374 uses np.random.randint (EXCLUSIVE
+        # upper bound) — identical distribution here. Its span-0 case (a
+        # scale-1.0 crop on the shorter side) raises in the reference
+        # (np.random.randint(0, 0)), which makes fix_crop=False unusable
+        # with the standard scale grid; we return offset 0 there instead
+        # (documented divergence, same class as PARITY.md item 1).
+        span_w, span_h = img_w - crop_w, img_h - crop_h
+        x0 = int(rng.integers(0, span_w)) if span_w > 0 else 0
+        y0 = int(rng.integers(0, span_h)) if span_h > 0 else 0
 
     cropped = crop_at(frames, y0, x0, crop_h, crop_w)
     return rescale(cropped, (input_size, input_size))

@@ -208,6 +208,21 @@ def export_inference(
         # flat result-buffer labels and the expected parameter-leaf count,
         # for the module-direct executor (tools/serve.py)
         "output_names": output_names,
+        # rows-per-sample of each output (1 for per-sample logits,
+        # num_segments for attention weights on the folded batch; null =
+        # not per-row, never trimmed) — tools/serve.py uses these to trim
+        # ragged-batch responses instead of guessing from the runtime shape
+        "output_row_multipliers": {
+            name: (
+                int(leaf.shape[0]) // batch_size
+                if leaf.shape and leaf.shape[0] % batch_size == 0
+                else None
+            )
+            for name, (_, leaf) in zip(
+                output_names,
+                jax.tree_util.tree_flatten_with_path(out_struct)[0],
+            )
+        },
         "param_leaf_count": len(jax.tree_util.tree_leaves(variables)),
         "num_segments": n_seg,
         "batch_size": batch_size,

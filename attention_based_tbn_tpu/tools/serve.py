@@ -80,6 +80,10 @@ class ServingModel:
         self._output_names = self.manifest.get("output_names") or list(
             self.manifest["outputs"]
         )
+        # per-output rows-per-sample for ragged-batch trimming (export
+        # writes these from the traced output shapes); None on legacy
+        # bundles -> fall back to the divisibility heuristic in predict()
+        self._row_mult = self.manifest.get("output_row_multipliers")
 
     @property
     def platform(self) -> str:
@@ -162,16 +166,20 @@ class ServingModel:
         else:
             names = self._output_names
         if true_bs < compiled_bs:
-            # trim pad rows: any output whose leading dim is a multiple
-            # k*compiled_bs is per-row data (k=1 logits, k=segments for
-            # attention weights on the folded batch) — keep k*true_bs rows
+            # trim pad rows: keep k*true_bs rows of each per-row output
+            # (k=1 logits, k=segments for attention weights on the folded
+            # batch). k comes from the manifest's export-time declaration;
+            # legacy bundles without it fall back to a divisibility
+            # heuristic, which can mis-trim a non-per-row output whose
+            # leading dim is coincidentally a multiple of the batch.
             trimmed = []
-            for arr in arrays:
-                lead = arr.shape[0] if arr.ndim else 0
-                if lead and lead % compiled_bs == 0:
-                    k = lead // compiled_bs
-                    arr = arr[: k * true_bs]
-                trimmed.append(arr)
+            for name, arr in zip(names, arrays):
+                if self._row_mult is not None:
+                    k = self._row_mult.get(name)
+                else:
+                    lead = arr.shape[0] if arr.ndim else 0
+                    k = lead // compiled_bs if lead % compiled_bs == 0 else None
+                trimmed.append(arr[: k * true_bs] if k else arr)
             arrays = trimmed
         return dict(zip(names, arrays))
 

@@ -179,13 +179,63 @@ def test_ragged_batch_pads_and_trims(bundle):
             err_msg=name,
         )
 
-    # batch mismatch across inputs and oversize batches are rejected
-    if len(full) > 1:
-        bad = dict(full)
-        first = sorted(bad)[0]
-        bad[first] = bad[first][:1]
-        with pytest.raises(ValueError, match="batch"):
-            sm.predict(bad)
+    # oversize batches are rejected (cross-input mismatch is covered by
+    # the multi-input test_ragged_batch_trims_folded_weights below)
     over = {k: np.concatenate([v, v]) for k, v in full.items()}
     with pytest.raises(ValueError, match="outside"):
         sm.predict(over)
+
+
+@pytest.fixture(scope="module")
+def bundle_mha(tmp_path_factory):
+    """Multi-input bundle (RGB+Audio, MHA attention): the weights output is
+    folded (B*N, 1, S), exercising the k=segments trim and the cross-input
+    batch validation that the single-input fixture cannot reach."""
+    from attention_based_tbn_tpu.tools.export import export_inference
+
+    tmp = tmp_path_factory.mktemp("serve_bundle_mha")
+    cfg = load_config(
+        overrides=[
+            "model.attention.enable=True",
+            "model.attention.type=mha",
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+            "model.num_classes={verb: 5, noun: 7}",
+            "tpu.compute_dtype=float32",
+            f"out_dir={tmp}",
+        ]
+    )
+    return export_inference(cfg, ["RGB", "Audio"], batch_size=2, num_segments=3)
+
+
+def test_ragged_batch_trims_folded_weights(bundle_mha):
+    """Per-segment attention weights (B*N rows) keep true_bs*N rows on a
+    ragged request, per the manifest's export-time row multipliers."""
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    sm = ServingModel(os.path.dirname(bundle_mha["manifest"]))
+    mult = sm.manifest["output_row_multipliers"]
+    assert mult["verb"] == 1 and mult["noun"] == 1
+    assert mult["weights"] == 3  # num_segments
+
+    full = sm.example_batch(seed=9)
+    want = sm.predict(full)
+    assert want["weights"].shape[0] == 2 * 3
+
+    got = sm.predict({k: v[:1] for k, v in full.items()})
+    assert got["verb"].shape[0] == 1 and got["noun"].shape[0] == 1
+    assert got["weights"].shape[0] == 3
+    for name in ("verb", "noun", "weights"):
+        np.testing.assert_allclose(
+            got[name], want[name][: got[name].shape[0]],
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+
+    # inputs disagreeing on the true batch are rejected
+    bad = dict(full)
+    bad["Audio"] = bad["Audio"][:1]
+    with pytest.raises(ValueError, match="!= 1 of the other inputs|batch"):
+        sm.predict(bad)
