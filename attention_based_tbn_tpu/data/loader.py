@@ -129,6 +129,51 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _assemble(self, samples, true_bs: int, global_idx) -> Tuple[Dict, Dict, Dict]:
+        """Collate decoded samples into one (batch, targets, meta) triple:
+        pad to the mesh multiple, host-pack visual streams, device_put —
+        the single assembly path for the producer thread and probe_batch."""
+        batch, targets, meta = collate(samples)
+        # GLOBAL true size (multi-host shards report the whole batch's),
+        # local rows for padding
+        meta["batch_size"] = true_bs
+        meta["global_indices"] = global_idx
+        local_bs = len(samples)
+        padded = ((local_bs + self.pad_to - 1) // self.pad_to) * self.pad_to
+        if padded != local_bs:
+            batch, targets = pad_batch(batch, targets, padded)
+        if self.pack_visual:
+            for key in ("RGB", "Flow"):
+                arr = batch.get(key)
+                if (
+                    arr is not None
+                    and arr.ndim == 5
+                    and arr.shape[3] % 2 == 0
+                    # mirror the model-side packed-input detection
+                    # (models/tbn.py), which only fires for uint8 streams —
+                    # packing a float stream here would feed the stem an
+                    # undetected (W/2, 2C) tensor
+                    and arr.dtype == np.uint8
+                ):
+                    b_, n_, h_, w_, c_ = arr.shape
+                    batch[key] = np.ascontiguousarray(arr).reshape(
+                        b_, n_, h_, w_ // 2, 2 * c_
+                    )
+        if self.device_put is not None:
+            batch = self.device_put(batch)
+            targets = self.device_put(targets)
+        return batch, targets, meta
+
+    def probe_batch(self) -> Tuple[Dict, Dict, Dict]:
+        """One synchronously assembled single-sample batch (padded/packed/
+        device_put exactly like the producer's) for shape probing and
+        model.init — avoids spinning the full prefetch pipeline, which
+        would decode (and then discard) up to ``prefetch`` extra batches
+        and re-decode batch 0 when real iteration starts."""
+        rng = np.random.default_rng((self.seed, 0, 0))
+        samples = [self.dataset.sample(0, rng)]
+        return self._assemble(samples, 1, np.asarray([0]))
+
     def _index_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -188,39 +233,13 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(sample_one, idx))
-                        batch, targets, meta = collate(samples)
-                        # GLOBAL true size (multi-host shards report the
-                        # whole batch's), local rows for padding
-                        meta["batch_size"] = true_sizes[batch_no]
-                        meta["global_indices"] = global_indices[batch_no]
-                        local_bs = len(samples)
-                        padded = (
-                            (local_bs + self.pad_to - 1) // self.pad_to
-                        ) * self.pad_to
-                        if padded != local_bs:
-                            batch, targets = pad_batch(batch, targets, padded)
-                        if self.pack_visual:
-                            for key in ("RGB", "Flow"):
-                                arr = batch.get(key)
-                                if (
-                                    arr is not None
-                                    and arr.ndim == 5
-                                    and arr.shape[3] % 2 == 0
-                                    # mirror the model-side packed-input
-                                    # detection (models/tbn.py), which only
-                                    # fires for uint8 streams — packing a
-                                    # float stream here would feed the stem
-                                    # an undetected (W/2, 2C) tensor
-                                    and arr.dtype == np.uint8
-                                ):
-                                    b_, n_, h_, w_, c_ = arr.shape
-                                    batch[key] = np.ascontiguousarray(
-                                        arr
-                                    ).reshape(b_, n_, h_, w_ // 2, 2 * c_)
-                        if self.device_put is not None:
-                            batch = self.device_put(batch)
-                            targets = self.device_put(targets)
-                        out_queue.put((batch, targets, meta))
+                        out_queue.put(
+                            self._assemble(
+                                samples,
+                                true_sizes[batch_no],
+                                global_indices[batch_no],
+                            )
+                        )
                 out_queue.put(None)
             except BaseException as exc:  # propagate decode errors to consumer
                 out_queue.put(exc)

@@ -112,7 +112,10 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     multihost = jax.process_count() > 1
 
     def put_one(x):
-        if not isinstance(x, (np.ndarray, jax.Array)) and not np.isscalar(x):
+        # only rank>=1 arrays can take the leading-axis sharding; python
+        # scalars/strings (np.isscalar is True for those!) and 0-d arrays
+        # pass through — meta dicts map cleanly
+        if not isinstance(x, (np.ndarray, jax.Array)) or x.ndim == 0:
             return x
         if multihost:
             return jax.make_array_from_process_local_data(
@@ -121,9 +124,3 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put_one, batch)
-
-
-def pad_to_multiple(batch_size: int, mesh: Mesh) -> int:
-    """Global batch must divide the data axis; callers pad with repeats."""
-    n = mesh.shape[DATA_AXIS]
-    return ((batch_size + n - 1) // n) * n

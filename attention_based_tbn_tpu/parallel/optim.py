@@ -82,6 +82,19 @@ def _freeze_labels(params: Dict, cfg, modality) -> Dict:
     freeze_base = bool(cfg.model.freeze_base)
     freeze_mode = cfg.model.freeze_mode
     arch = cfg.model.arch
+    if freeze_base and freeze_mode == "partialbn" and arch != "bninception":
+        # the reference silently ignores partialbn for resnet/vgg towers
+        # (model.py:164: the elif requires bninception); same dynamics
+        # here, but surface the ignored request instead of matching the
+        # silence
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "model.freeze_mode='partialbn' only applies to the bninception "
+            "arch (reference model.py:164-176); arch=%r trains ALL tower "
+            "parameters — use model.freeze_mode='all' to freeze the towers.",
+            arch,
+        )
 
     def label_tower(tower_params: Dict) -> Dict:
         def walk(node, path):

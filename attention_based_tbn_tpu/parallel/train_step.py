@@ -30,12 +30,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def create_train_state(
-    model: TBNModel,
-    batch: Mapping[str, jnp.ndarray],
-    tx: optax.GradientTransformation,
-    rng: jax.Array,
-) -> TrainState:
+def init_variables(
+    model: TBNModel, batch: Mapping[str, jnp.ndarray], rng: jax.Array
+):
+    """Model init with the canonical 4-stream rng dict — the ONE init
+    recipe, shared by create_train_state and the production trainer
+    (tools/train.run_trainer, which must load pretrained towers between
+    init and tx.init and so cannot use create_train_state wholesale)."""
     rngs = {
         "params": rng,
         "dropout": jax.random.fold_in(rng, 1),
@@ -44,7 +45,16 @@ def create_train_state(
     }
     # init must run jitted: unjitted tracing dispatches thousands of tiny
     # ops to the device individually (minutes over a TPU tunnel)
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
+    return jax.jit(lambda r, b: model.init(r, b, train=False))(rngs, batch)
+
+
+def create_train_state(
+    model: TBNModel,
+    batch: Mapping[str, jnp.ndarray],
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+) -> TrainState:
+    variables = init_variables(model, batch, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

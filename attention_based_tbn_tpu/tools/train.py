@@ -32,6 +32,7 @@ from ..parallel.optim import (
 )
 from ..parallel.train_step import (
     TrainState,
+    init_variables,
     make_eval_step,
     make_multi_train_step,
     make_train_step,
@@ -83,7 +84,7 @@ def train_one_epoch(
     cfg, state, step_fn, loader, metric, epoch, rng, logger, run_dir=None,
     multi_step=None, fused_step=None,
 ):
-    no_batches = max(round(len(loader.dataset) / loader.batch_size), 1)
+    no_batches = max(len(loader), 1)  # loader __len__ = true batch count
     log_interval = max(no_batches // 4, 1)
     # Device-resident running loss: the per-step float() readback was a
     # 30 ms-2 s host sync on the tunneled platform; now the loop enqueues
@@ -225,7 +226,7 @@ def train_one_epoch(
 
 
 def validate(cfg, state, eval_fn, loader, epoch, logger):
-    no_batches = max(len(loader.dataset) // loader.batch_size, 1)
+    no_batches = max(len(loader), 1)
     metric = Metric(cfg, no_batches)
 
     for batch, targets, meta in loader:
@@ -262,24 +263,15 @@ def run_trainer(cfg, logger, modality, writer=None):
         cfg, modality, mode="val", device_put=device_put, pad_to=mesh.size
     )
 
-    # Initialize from one probe batch (already padded + device_put by the
-    # loader's producer thread)
-    probe_iter = iter(train_loader)
-    probe_batch, probe_targets, _ = next(probe_iter)
-    del probe_iter
+    # Initialize from one synchronously assembled probe batch (padded /
+    # packed / device_put exactly like the producer's output, but without
+    # spinning the prefetch pipeline, which would decode-and-discard
+    # ``prefetch`` batches and re-decode batch 0 on the real first epoch)
+    probe_batch, _, _ = train_loader.probe_batch()
     probe_batch = jax.tree.map(jnp.asarray, probe_batch)
 
     rng = jax.random.key(int(cfg.data.manual_seed))
-
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        {
-            "params": rng,
-            "dropout": jax.random.fold_in(rng, 1),
-            "gumbel": jax.random.fold_in(rng, 2),
-            "audio_dropout": jax.random.fold_in(rng, 3),
-        },
-        probe_batch,
-    )
+    variables = init_variables(model, probe_batch, rng)
     params = variables["params"]
 
     # Pretrained tower weights
@@ -306,7 +298,11 @@ def run_trainer(cfg, logger, modality, writer=None):
     start_epoch = 0
     train_loss_hist: List = []
     val_loss_hist: List = []
+    # track every accuracy Metric reports — incl. the combined "all_class"
+    # (multi-head only), which is also the best-checkpoint ranking metric
     val_acc_hist: Dict[str, List] = {k: [] for k in cfg.model.num_classes.keys()}
+    if len(cfg.model.num_classes) > 1:
+        val_acc_hist["all_class"] = []
 
     checkpoint_name = "tbn_{}_{}".format(cfg.model.arch, "_".join(modality))
     if cfg.data.dataset:
@@ -322,7 +318,14 @@ def run_trainer(cfg, logger, modality, writer=None):
         epochs += start_epoch  # reference semantics: resume extends epochs
         train_loss_hist = history.get("train_loss", [])
         val_loss_hist = history.get("validation_loss", [])
-        val_acc_hist = history.get("validation_accuracy", val_acc_hist)
+        restored_acc = history.get("validation_accuracy", val_acc_hist)
+        # checkpoints from before all_class tracking: backfill with None so
+        # the per-epoch append keeps every curve the same length
+        for key in val_acc_hist:
+            if key not in restored_acc:
+                depth = max((len(v) for v in restored_acc.values()), default=0)
+                restored_acc[key] = [None] * depth
+        val_acc_hist = restored_acc
         logger.info(f"Model will continue training from epoch no {start_epoch + 1}")
 
     fused_step = None
@@ -350,7 +353,17 @@ def run_trainer(cfg, logger, modality, writer=None):
             "so the trainer does not wire the combination.)"
         )
     eval_step = make_eval_step(model, cfg, mesh)
-    best_acc = float("-inf")
+    # best-checkpoint threshold survives resume: re-seed from the restored
+    # ranking-metric history so a worse post-resume epoch cannot overwrite
+    # the pre-resume best
+    rank_key = (
+        "all_class" if len(cfg.model.num_classes) > 1
+        else next(iter(cfg.model.num_classes))
+    )
+    seen_best = [
+        acc[0] for acc in (val_acc_hist.get(rank_key) or []) if acc
+    ]
+    best_acc = max(seen_best) if seen_best else float("-inf")
 
     plotter = Plotter(writer)
     plotter.add_config(cfg)
@@ -363,7 +376,7 @@ def run_trainer(cfg, logger, modality, writer=None):
         lr = lr_at_epoch(cfg, epoch)
         set_learning_rate(state.opt_state, lr)
 
-        no_batches = max(round(len(train_loader.dataset) / train_loader.batch_size), 1)
+        no_batches = max(len(train_loader), 1)
         metric = Metric(cfg, no_batches)
         state, train_loss = train_one_epoch(
             cfg, state, train_step, train_loader, metric, epoch,

@@ -255,3 +255,28 @@ class TestPaddedStepEquivalence:
             np.testing.assert_allclose(
                 float(loss[key]), float(loss_p[key]), rtol=1e-5, err_msg=key
             )
+
+
+def test_shard_batch_passes_meta_leaves_through():
+    """Whole loader outputs map cleanly: python scalars, strings, lists and
+    0-d arrays (meta dicts) pass through unchanged, while rank>=1 arrays
+    take the leading-axis sharding. np.isscalar is True for str/int/float —
+    a predicate built on it used to send meta leaves into a rank-1
+    device_put, which raises."""
+    import numpy as np
+
+    mesh = make_mesh()
+    meta = {
+        "uid": ["vid_001", "vid_002"],
+        "batch_size": 4,
+        "start_time": 1.5,
+        "flag": True,
+        "zero_d": np.asarray(3),
+        "rows": np.zeros((8, 2), np.float32),
+    }
+    out = shard_batch(meta, mesh)
+    assert out["batch_size"] == 4 and out["start_time"] == 1.5
+    assert out["uid"] == ["vid_001", "vid_002"] and out["flag"] is True
+    assert isinstance(out["zero_d"], np.ndarray)  # untouched
+    assert isinstance(out["rows"], jax.Array)
+    assert out["rows"].sharding.spec == ("data",)

@@ -179,6 +179,9 @@ class TestGroupedDispatchTailFlush:
             batch_size = row_sizes[0]
             dataset = list(range(sum(row_sizes)))
 
+            def __len__(self):
+                return len(row_sizes)
+
             def set_epoch(self, epoch):
                 pass
 
