@@ -60,8 +60,13 @@ def read_audio_sample(
     file_ext: str = "wav",
     sampling_rate: int = 24000,
     read_pickle: bool = False,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """Load the full untrimmed waveform for a video (wav or .npy cache)."""
+    """Load the full untrimmed waveform for a video (wav or .npy cache).
+
+    ``use_native=False`` honors the ``tpu.native_io`` config gate the
+    visual decode path obeys (dataset.VideoDataset) — A/B comparisons and
+    parity debugging must be able to force the pure-Python reader."""
     if read_pickle:
         return np.load(os.path.join(root_dir, audio_prefix, f"{vid_id}.npy")).astype(
             np.float32
@@ -69,11 +74,11 @@ def read_audio_sample(
     path = os.path.join(root_dir, audio_prefix, f"{vid_id}.{file_ext}")
     from .. import native as native_io
 
-    if native_io.available():
+    if use_native and native_io.available():
         try:
             return native_io.read_wav(path, target_sr=sampling_rate)
         except IOError:
-            pass  # non-PCM wav — fall back to the Python reader
+            pass  # non-PCM/truncated wav — fall back to the Python reader
     return read_wav(path, target_sr=sampling_rate)
 
 

@@ -114,6 +114,7 @@ class VideoDataset:
             file_ext=self.cfg.data.audio.file_ext,
             sampling_rate=int(self.cfg.data.audio.sampling_rate),
             read_pickle=bool(self.cfg.data.audio.read_audio_pickle),
+            use_native=self.native is not None,  # tpu.native_io gate
         )
 
     def _rgb_path(self, vid_id: str, frame_idx: int) -> str:

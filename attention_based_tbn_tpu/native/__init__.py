@@ -45,7 +45,13 @@ def _load() -> bool:
         return True
     if not os.path.exists(_LIB_PATH):
         return False
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # stale/ABI-incompatible local build artifact (another machine's
+        # toolchain, missing libjpeg runtime): degrade to the Python IO
+        # paths instead of crashing every import of the data package
+        return False
 
     lib.tbn_jpeg_info.restype = ctypes.c_int
     lib.tbn_jpeg_info.argtypes = [

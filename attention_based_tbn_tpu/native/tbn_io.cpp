@@ -63,6 +63,10 @@ int tbn_decode_jpeg(const uint8_t* data, int64_t size, uint8_t* out,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  // constructed BEFORE setjmp: a longjmp from error_exit must not skip a
+  // non-trivially-destructible object's construction point (UB + a leaked
+  // row buffer per failed decode); the vector only resizes after setjmp
+  std::vector<uint8_t> row;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     return -1;
@@ -75,7 +79,7 @@ int tbn_decode_jpeg(const uint8_t* data, int64_t size, uint8_t* out,
 
   const int w = cinfo.output_width;
   const int row_stride = w * cinfo.output_components;
-  std::vector<uint8_t> row(row_stride);
+  row.resize(row_stride);
   uint8_t* rowptr = row.data();
   int y = 0;
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -175,7 +179,14 @@ int tbn_read_wav(const char* path, int target_sr, float** out,
       if (chunk_size & 1) std::fseek(f, 1, SEEK_CUR);
     } else if (!std::memcmp(chunk_id, "data", 4)) {
       pcm.resize(chunk_size);
-      if (std::fread(pcm.data(), 1, chunk_size, f) != chunk_size) break;
+      size_t got = std::fread(pcm.data(), 1, chunk_size, f);
+      if (got != chunk_size) {
+        // truncated file: keep only the bytes actually present (a short
+        // waveform, like the Python reader) — resize() zero-filled the
+        // buffer, and returning it whole would fabricate a silent tail
+        pcm.resize(got);
+        break;
+      }
       if (chunk_size & 1) std::fseek(f, 1, SEEK_CUR);
     } else {
       std::fseek(f, chunk_size + (chunk_size & 1), SEEK_CUR);

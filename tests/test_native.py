@@ -187,3 +187,55 @@ class TestBatchDecode:
         cv2.imwrite(str(p), img)
         with pytest.raises(IOError):
             native.decode_batch([str(p)], scale_size=64, crop_size=224)
+
+
+class TestWavTruncation:
+    def test_truncated_data_chunk_returns_short_not_silence(self, tmp_path):
+        """A data chunk whose declared size exceeds the file (interrupted
+        copy) must yield only the real samples — resize() zero-fills the
+        buffer, and the old code returned the full declared length with a
+        fabricated silent tail."""
+        sr = 24000
+        signal = np.full(sr, 0.5, np.float32)  # constant, no zero samples
+        pcm = (signal * 32767).astype("<i2").tobytes()
+
+        path = tmp_path / "trunc.wav"
+        with wave.open(str(path), "wb") as handle:
+            handle.setnchannels(1)
+            handle.setsampwidth(2)
+            handle.setframerate(sr)
+            handle.writeframes(pcm)
+        full_size = path.stat().st_size
+        with open(path, "r+b") as handle:
+            handle.truncate(full_size - len(pcm) // 2)  # cut half the data
+
+        out = native.read_wav(str(path), target_sr=sr)
+        assert len(out) == sr // 2  # the real half, not the declared length
+        assert np.all(np.abs(out) > 0.4)  # no zero-filled tail
+
+
+class TestNativeGate:
+    def test_read_audio_sample_honors_native_gate(self, tmp_path, monkeypatch):
+        """use_native=False (the tpu.native_io config gate) must route
+        around the native reader even when the library is available."""
+        from attention_based_tbn_tpu.data import audio as audio_mod
+
+        sr = 24000
+        pcm = (np.zeros(sr) * 32767).astype("<i2")
+        wav_dir = tmp_path / "audio"
+        wav_dir.mkdir()
+        with wave.open(str(wav_dir / "P01_01.wav"), "wb") as handle:
+            handle.setnchannels(1)
+            handle.setsampwidth(2)
+            handle.setframerate(sr)
+            handle.writeframes(pcm.tobytes())
+
+        def boom(*a, **k):
+            raise AssertionError("native reader used despite the gate")
+
+        monkeypatch.setattr(native, "read_wav", boom)
+        out = audio_mod.read_audio_sample(
+            str(tmp_path), "audio", "P01_01", sampling_rate=sr,
+            use_native=False,
+        )
+        assert out.shape == (sr,)
