@@ -121,7 +121,10 @@ class PositionalEncoding(nn.Module):
         if self.encoding_type == "add":
             x = x + table[None, :s, :c].astype(x.dtype)
         else:  # concat
-            pe = jnp.broadcast_to(table[None], (b, self.max_len, self.dim_size))
+            # slice the table to the input's sequence length like the add
+            # path (s == max_len for the anchor-formula window, but the
+            # three PE paths must agree on the contract)
+            pe = jnp.broadcast_to(table[None, :s], (b, s, self.dim_size))
             x = jnp.concatenate([x, pe.astype(x.dtype)], axis=-1)
         # 1x1 Conv1d over channels == Dense applied at each position
         x = TorchLinear(self.out_features, dtype=self.dtype, name="conv")(x)

@@ -450,8 +450,8 @@ class InceptionBlock(nn.Module):
                 # Keeps the whole branch inside the conv pipeline instead of
                 # a fusion-blocking pooling pass.
                 pk, pb = kproj
-                k3 = jnp.broadcast_to(pk / 9.0, (3, 3) + pk.shape[2:])
-                branches.append(relu(conv2d_apply(x, k3, pb, 1, 1, dtype)))
+                kp3 = jnp.broadcast_to(pk / 9.0, (3, 3) + pk.shape[2:])
+                branches.append(relu(conv2d_apply(x, kp3, pb, 1, 1, dtype)))
             elif s.pool == "avg":
                 pooled = avg_pool2d(
                     x, 3, 1, 1, ceil_mode=True, count_include_pad=True,

@@ -320,7 +320,6 @@ class TBNModel(nn.Module):
         dtype = self.dtype
         features = []
         att_wts = None
-        n_consensus = None  # segments (x crops) for score aggregation
 
         for m_no, m in enumerate(spec.modality):
             x = batch[m]
@@ -472,7 +471,6 @@ class TBNModel(nn.Module):
     def _audio_feature(self, batch, features, feature, b, n, train):
         """Audio post-tower path: dropout / fixed weighting / attention."""
         spec = self.spec
-        dtype = self.dtype
 
         if train and spec.multimodal and spec.audio_dropout > 0:
             # One scalar draw per step zeroes the whole audio feature

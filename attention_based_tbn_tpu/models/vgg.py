@@ -13,7 +13,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pooling import max_pool2d
+from ..ops.pooling import adaptive_avg_pool2d, max_pool2d
 from .layers import TorchBatchNorm, TorchConv, TorchLinear
 
 Dtype = Any
@@ -66,6 +66,11 @@ class VGG(nn.Module):
                 y = nn.relu(y)
                 conv_idx += 1
 
+        # torchvision's forward pools features to 7x7 BEFORE flatten
+        # (AdaptiveAvgPool2d((7, 7)) — identity for 224-px crops, but the
+        # reference runs it for every input size, keeping the classifier
+        # input fixed at 512*7*7 regardless of resolution)
+        y = adaptive_avg_pool2d(y, (7, 7))
         # torchvision flattens NCHW order: transpose before reshape so
         # converted fc weights line up.
         b = y.shape[0]

@@ -106,7 +106,10 @@ def pe_block_pallas(
         denom = 1.0 / (s * cg)
         mean_g = jnp.dot(hs, ind, preferred_element_type=f32) * denom  # (tile, G)
         msq_g = jnp.dot(sq, ind, preferred_element_type=f32) * denom
-        var_g = msq_g - mean_g * mean_g
+        # clamp the single-pass variance: fp32 E[x^2]-mean^2 cancellation
+        # can go slightly negative for near-constant groups, and
+        # rsqrt(negative + eps) would NaN (same guard as TorchBatchNorm)
+        var_g = jnp.maximum(msq_g - mean_g * mean_g, 0.0)
         mean_c = jnp.dot(mean_g, ind.T, preferred_element_type=f32)  # (tile, C_out)
         inv_c = jnp.dot(
             jax.lax.rsqrt(var_g + eps), ind.T, preferred_element_type=f32

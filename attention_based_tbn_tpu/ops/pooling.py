@@ -294,3 +294,28 @@ def global_avg_pool(x: jnp.ndarray, freq_only: bool = False) -> jnp.ndarray:
     if freq_only:
         return jnp.mean(xf, axis=1).astype(x.dtype)  # (B, T, C)
     return jnp.mean(xf, axis=(1, 2)).astype(x.dtype)  # (B, C)
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: IntPair) -> jnp.ndarray:
+    """torch.nn.AdaptiveAvgPool2d on NHWC: output cell (i, j) averages the
+    input window [floor(i*H/oh), ceil((i+1)*H/oh)) x [floor(j*W/ow),
+    ceil((j+1)*W/ow)) — exact torch semantics incl. the upsampling case
+    (input smaller than output repeats cells). Identity when the input
+    already has the target size (the 224-px VGG path). Static shapes: the
+    oh+ow slice loops unroll at trace time. Means accumulate in fp32."""
+    oh, ow = _pair(out_hw)
+    h, w = x.shape[1], x.shape[2]
+    if (h, w) == (oh, ow):
+        return x
+
+    def pool_axis(arr, size, out, axis):
+        cells = []
+        for i in range(out):
+            start = (i * size) // out
+            end = -((-(i + 1) * size) // out)  # ceil((i+1)*size/out)
+            window = jax.lax.slice_in_dim(arr, start, end, axis=axis)
+            cells.append(window.mean(axis=axis, keepdims=True))
+        return jnp.concatenate(cells, axis=axis)
+
+    xf = x.astype(jnp.float32)
+    return pool_axis(pool_axis(xf, h, oh, 1), w, ow, 2).astype(x.dtype)

@@ -172,3 +172,41 @@ class TestVGG:
         variables = model.init(key, x)
         assert "bn0" in variables["params"]
         assert model.apply(variables, x).shape == (1, 4096)
+
+
+class TestAdaptiveAvgPool:
+    def test_matches_torch_semantics(self):
+        """adaptive_avg_pool2d vs torch.nn.AdaptiveAvgPool2d across down-,
+        up- and mixed-sampling geometries (incl. the VGG non-224 cases the
+        reference reaches through torchvision's fixed avgpool-to-7x7)."""
+        torch = pytest.importorskip("torch")
+        import numpy as np
+
+        from attention_based_tbn_tpu.ops.pooling import adaptive_avg_pool2d
+
+        gen = torch.Generator().manual_seed(0)
+        for (h, w), out in [
+            ((13, 8), (7, 7)),   # audio-spectrogram-ish map: downsample
+            ((2, 2), (7, 7)),    # 64-px crops: upsample
+            ((7, 7), (7, 7)),    # identity (224-px path)
+            ((10, 21), (7, 7)),
+            ((5, 9), (3, 4)),
+        ]:
+            x = torch.randn(2, 16, h, w, generator=gen)
+            want = torch.nn.AdaptiveAvgPool2d(out)(x).numpy()
+            got = adaptive_avg_pool2d(
+                jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), out
+            )
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), want,
+                rtol=1e-5, atol=1e-6, err_msg=f"{(h, w)} -> {out}",
+            )
+
+    def test_vgg_non_224_keeps_torchvision_classifier_shape(self, key):
+        """Any input size must flatten to 512*7*7 = 25088 (torchvision runs
+        AdaptiveAvgPool2d((7,7)) before the classifier for every size)."""
+        model = VGG(vgg_type="11")
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(key, x)
+        assert variables["params"]["fc1"]["kernel"].shape == (25088, 4096)
+        assert model.apply(variables, x).shape == (1, 4096)
