@@ -93,6 +93,27 @@ def test_save_action_segment_from_frames(setup):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_initialize_loads_config_vis_entry_point():
+    """initialize() defaults to the first-class ``config_vis`` entry point
+    (reference config/config_vis.yaml + vis.py:314-364): composes the main
+    groups, applies the vis recipe (3 segments, batch 1, no result dump,
+    mha+entropy), and still honors CLI-style overrides."""
+    cfg, model, modality, state = vis.initialize(
+        ["model.pretrained=False", "data.flow.enable=False"]
+    )
+    assert cfg.test.num_segments == 3
+    assert cfg.test.batch_size == 1
+    assert cfg.test.save_results is False
+    assert cfg.model.attention.type == "mha"
+    assert cfg.model.attention.use_entropy is True
+    assert cfg.data.audio.dropout == 0.5
+    # override applied: flow dropped from the modality resolution
+    assert modality == ["RGB", "Audio"]
+    assert state is None  # no checkpoint given
+    # the composed groups are the main ones (spot-check a train key)
+    assert cfg.train.batch_size > 0
+
+
 def test_visualize_writes_clip(setup):
     cfg, model, state, dataset, root = setup
     out_png = os.path.join(root, "results", "vis_clip.png")
