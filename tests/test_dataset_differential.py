@@ -1,0 +1,196 @@
+"""End-to-end eval-pipeline differential vs the reference's verbatim
+``Video_Dataset`` (core/dataset/dataset.py + transform.py, imported from
+/root/reference with librosa/torchvision stubbed — both unused on the
+RGB/Flow eval path).
+
+The composed host pipeline — annotation row -> EpicVideoRecord -> center
+TSN offsets (incl. the Flow window recentering) -> cv2 JPEG decode ->
+Rescale(shorter side) -> CenterCrop -> stack -> normalize — is run through
+BOTH frameworks on the same synthetic fixture and compared bitwise: our
+uint8 crops, pushed through the same /255-then-(x-mean)/std arithmetic the
+model applies on device (models/tbn.py input pipeline), must equal the
+reference's host-normalized tensors exactly, and sampling indices / labels
+/ uids must agree.
+
+This composes what the unit suites pin piecewise (test_sampling,
+test_transforms, test_records_differential) into one whole-path check for
+val AND test mode, sync sampling, RGB+Flow.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from attention_based_tbn_tpu.config import load_config
+from attention_based_tbn_tpu.data.dataset import VideoDataset
+from attention_based_tbn_tpu.data.synthetic import generate
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "core")),
+    reason="reference tree unavailable",
+)
+
+
+# ---------------------------------------------------------------------------
+# Reference import machinery (librosa/torchvision absent here; both are
+# module-level imports that the RGB/Flow eval path never calls)
+# ---------------------------------------------------------------------------
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for key, value in attrs.items():
+        setattr(mod, key, value)
+    sys.modules[name] = mod
+    return mod
+
+
+def _load_reference_dataset_pkg():
+    if "refdset.dataset" in sys.modules:
+        return sys.modules["refdset.dataset"], sys.modules["refdset.transform"]
+
+    _stub("librosa")
+    tvf = _stub("torchvision.transforms.functional")
+    tvt = _stub("torchvision.transforms", functional=tvf)
+    _stub("torchvision", transforms=tvt)
+
+    pkg = types.ModuleType("refdset")
+    pkg.__path__ = [os.path.join(REFERENCE, "core", "dataset")]
+    sys.modules["refdset"] = pkg
+    for name in ("video_record", "epic_record", "dataset_class", "epic_class",
+                 "transform", "dataset"):
+        path = os.path.join(REFERENCE, "core", "dataset", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(f"refdset.{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refdset.{name}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["refdset.dataset"], sys.modules["refdset.transform"]
+
+
+class _Compose:
+    """torchvision.transforms.Compose's trivial chain (stubbed dependency)."""
+
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+def _reference_eval_transforms(T, cfg):
+    """The eval branches of reference create_dataloader.get_transforms:19-81
+    (Rescale + CenterCrop + Stack + ToTensor + Normalize; FixedCrop is
+    commented out there)."""
+    return {
+        "RGB": _Compose([
+            T.Rescale(cfg.data.test_scale_size),
+            T.CenterCrop(cfg.data.test_crop_size),
+            T.Stack("RGB"),
+            T.ToTensor(),
+            T.Normalize(list(cfg.data.rgb.mean), list(cfg.data.rgb.std)),
+        ]),
+        "Flow": _Compose([
+            T.Rescale(cfg.data.test_scale_size),
+            T.CenterCrop(cfg.data.test_crop_size),
+            T.Stack("Flow"),
+            T.ToTensor(),
+            T.Normalize(list(cfg.data.flow.mean), list(cfg.data.flow.std)),
+        ]),
+    }
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("epic_fixture")
+    generate(str(root), videos=["P01_01", "P01_02"], frames_per_video=120)
+    return str(root)
+
+
+def _our_cfg(fixture_root, mode_key, n_seg):
+    return load_config(
+        overrides=[
+            f"data_dir={fixture_root}",
+            "data.audio.enable=False",
+            "model.attention.enable=False",
+            "data.sampling=sync",
+            f"{mode_key}.num_segments={n_seg}",
+            "tpu.native_io=False",  # pin the cv2 decode path: bitwise vs ref
+        ]
+    )
+
+
+def _normalize_like_device(crops_u8, mean, std):
+    """(N, H, W, C) uint8 -> reference-normalized (N, C, H, W) float32 —
+    the exact arithmetic models/tbn.py applies on device (/255, -mean, /std,
+    fp32), restated in numpy for the comparison."""
+    x = crops_u8.astype(np.float32) / np.float32(255.0)
+    mean = np.asarray(mean, np.float32).reshape(1, 1, 1, -1)
+    std = np.asarray(std, np.float32).reshape(1, 1, 1, -1)
+    c = crops_u8.shape[-1]
+    reps = c // mean.shape[-1]
+    x = (x - np.tile(mean, (1, 1, 1, reps))) / np.tile(std, (1, 1, 1, reps))
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("mode,n_seg", [("val", 3), ("test", 5)])
+def test_eval_pipeline_matches_reference_bitwise(fixture_root, mode, n_seg):
+    ref_dataset_mod, T = _load_reference_dataset_pkg()
+
+    mode_key = {"val": "val", "test": "test"}[mode]
+    cfg = _our_cfg(fixture_root, mode_key, n_seg)
+    modality = ["RGB", "Flow"]
+    annotation = "annotations/epic_train_val.csv"
+    vid_list = ["P01_01", "P01_02"]
+
+    ours = VideoDataset(cfg, vid_list, annotation, modality, mode=mode)
+    ref = ref_dataset_mod.Video_Dataset(
+        cfg,
+        vid_list,
+        annotation,
+        modality,
+        transform=_reference_eval_transforms(T, cfg),
+        mode=mode,
+    )
+    assert len(ours) == len(ref) > 0
+
+    for index in range(len(ours)):
+        ref_data, ref_target, ref_uid = ref[index]
+        sample = ours.sample(index)
+
+        assert sample["uid"] == ref_uid
+        assert sample["vid_id"] == ref_data["vid_id"]
+        assert sample["start_time"] == ref_data["start_time"]
+        assert sample["stop_time"] == ref_data["stop_time"]
+        for m in modality:
+            np.testing.assert_array_equal(
+                sample["indices"][m], ref_data["indices"][m], err_msg=f"{m} idx"
+            )
+        assert sample["labels"] == dict(ref_target["class"])
+
+        ours_rgb = _normalize_like_device(
+            sample["RGB"], cfg.data.rgb.mean, cfg.data.rgb.std
+        )
+        np.testing.assert_array_equal(
+            ours_rgb, ref_data["RGB"].numpy(), err_msg="RGB pixels"
+        )
+        ours_flow = _normalize_like_device(
+            sample["Flow"], cfg.data.flow.mean, cfg.data.flow.std
+        )
+        np.testing.assert_array_equal(
+            ours_flow, ref_data["Flow"].numpy(), err_msg="Flow pixels"
+        )
