@@ -194,3 +194,54 @@ def test_eval_pipeline_matches_reference_bitwise(fixture_root, mode, n_seg):
         np.testing.assert_array_equal(
             ours_flow, ref_data["Flow"].numpy(), err_msg="Flow pixels"
         )
+
+
+def test_flow_pickle_artifacts_interchange_with_reference(fixture_root):
+    """Artifact compatibility: .npz flow stacks written by OUR preprocessing
+    CLI (preprocessing/create_flow_pickle.py) are read by the REFERENCE's
+    verbatim pickle branch (dataset.py:336-352) and by ours, bitwise-equal
+    end-to-end — a reference user can reuse caches produced by either
+    framework's tooling (reference preprocessing/create_epic_flow_pickle.py
+    writes the same frame_%010d.npz / key "flow" format)."""
+    from attention_based_tbn_tpu.preprocessing.create_flow_pickle import main
+
+    pickle_dir = os.path.join(fixture_root, "flow_pickle")
+    if not os.path.isdir(pickle_dir):
+        main([
+            "--in_dir", os.path.join(fixture_root, "links"),
+            "--out_dir", pickle_dir,
+            "--win_length", "5",
+        ])
+
+    ref_dataset_mod, T = _load_reference_dataset_pkg()
+    cfg = load_config(
+        overrides=[
+            f"data_dir={fixture_root}",
+            "data.audio.enable=False",
+            "model.attention.enable=False",
+            "data.sampling=sync",
+            "val.num_segments=3",
+            "data.flow.dir_prefix=flow_pickle",
+            "data.flow.read_flow_pickle=True",
+            "tpu.native_io=False",
+        ]
+    )
+    modality = ["RGB", "Flow"]
+    annotation = "annotations/epic_train_val.csv"
+    vid_list = ["P01_01", "P01_02"]
+
+    ours = VideoDataset(cfg, vid_list, annotation, modality, mode="val")
+    ref = ref_dataset_mod.Video_Dataset(
+        cfg, vid_list, annotation, modality,
+        transform=_reference_eval_transforms(T, cfg), mode="val",
+    )
+    assert len(ours) == len(ref) > 0
+    for index in range(len(ours)):
+        ref_data, _, _ = ref[index]
+        sample = ours.sample(index)
+        ours_flow = _normalize_like_device(
+            sample["Flow"], cfg.data.flow.mean, cfg.data.flow.std
+        )
+        np.testing.assert_array_equal(
+            ours_flow, ref_data["Flow"].numpy(), err_msg="Flow pickle pixels"
+        )
