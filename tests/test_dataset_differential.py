@@ -196,6 +196,41 @@ def test_eval_pipeline_matches_reference_bitwise(fixture_root, mode, n_seg):
         )
 
 
+@pytest.mark.parametrize("prior_type", ["gaussian", "uniform", "loud"])
+@pytest.mark.parametrize("audio_length", [1.279, 2.1, 4.0])
+def test_attention_priors_match_reference_verbatim(prior_type, audio_length):
+    """data/priors.py vs the reference's verbatim _get_attn_weights
+    (dataset.py:534-575), incl. the loud-roll re-centering quirk, over
+    random spectrograms and the shipped audio lengths."""
+    import types as _types
+
+    from attention_based_tbn_tpu.data.priors import (
+        attention_prior,
+        attention_window_size,
+    )
+
+    ref_dataset_mod, _ = _load_reference_dataset_pkg()
+    ref_ds = object.__new__(ref_dataset_mod.Video_Dataset)
+    ref_ds.audio_length = audio_length
+    ref_ds.cfg = _types.SimpleNamespace(
+        model=_types.SimpleNamespace(
+            attention=_types.SimpleNamespace(prior_type=prior_type)
+        )
+    )
+
+    win = attention_window_size(audio_length)
+    rng = np.random.default_rng(hash((prior_type, audio_length)) % 2**31)
+    for _ in range(8):
+        spec = rng.standard_normal((256, rng.integers(win, 8 * win))).astype(
+            np.float32
+        )
+        ref_wts = ref_ds._get_attn_weights(spec, None, None).numpy()
+        ours = attention_prior(prior_type, win, spec)
+        np.testing.assert_array_equal(
+            np.asarray(ours, np.float32).reshape(ref_wts.shape), ref_wts
+        )
+
+
 def test_flow_pickle_artifacts_interchange_with_reference(fixture_root):
     """Artifact compatibility: .npz flow stacks written by OUR preprocessing
     CLI (preprocessing/create_flow_pickle.py) are read by the REFERENCE's
