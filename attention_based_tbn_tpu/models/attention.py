@@ -108,9 +108,11 @@ class PositionalEncoding(nn.Module):
                 c + self.dim_size, self.out_features, name="conv"
             )()
             gn_scale, gn_bias = AffineParams(self.out_features, name="norm")()
+            # slice to the input's sequence length — same contract as the
+            # jnp paths below (the kernel takes pe_table as (S, D))
             return pe_block_pallas(
                 x,
-                table.astype(x.dtype),
+                table[:s].astype(x.dtype),
                 conv_k.astype(self.dtype),
                 conv_b.astype(self.dtype),
                 gn_scale.astype(self.dtype),

@@ -16,8 +16,6 @@ from .tbn import TBNModel, TBNSpec
 _MODEL_TYPES = ("vgg", "resnet", "bninception")
 _LOSS_TYPES = ("crossentropy", "nll", "kl", "mse", "smoothl1")
 
-_IN_CHANNELS = {"RGB": 3, "Audio": 1}
-
 
 def build_model(cfg, modality: List[str]) -> Tuple[TBNModel, TBNSpec]:
     assert (

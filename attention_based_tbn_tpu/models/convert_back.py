@@ -57,6 +57,19 @@ def _get(tree: Optional[Mapping], *path):
     return node
 
 
+def _bn_stats_or_fresh(bn_stats: Mapping[str, Any], shape) -> tuple:
+    """(running_mean, running_var) from the stats node, or a freshly
+    constructed torch BatchNorm's defaults (mean 0, var 1) when the caller
+    exports params without batch statistics (``stats=None`` — e.g. an
+    untrained tree)."""
+    if "mean" in bn_stats and "var" in bn_stats:
+        return _np(bn_stats["mean"]), _np(bn_stats["var"])
+    return (
+        np.zeros(shape, dtype=np.float32),
+        np.ones(shape, dtype=np.float32),
+    )
+
+
 def _emit_conv_bn_module(
     out: Dict[str, np.ndarray],
     flat_name: str,
@@ -75,8 +88,9 @@ def _emit_conv_bn_module(
         out[f"{flat_name}_bn.weight"] = _np(bn["scale"])
         out[f"{flat_name}_bn.bias"] = _np(bn["bias"])
         bn_stats = _get(stats_node, "bn") or {}
-        out[f"{flat_name}_bn.running_mean"] = _np(bn_stats["mean"])
-        out[f"{flat_name}_bn.running_var"] = _np(bn_stats["var"])
+        mean, var = _bn_stats_or_fresh(bn_stats, _np(bn["scale"]).shape)
+        out[f"{flat_name}_bn.running_mean"] = mean
+        out[f"{flat_name}_bn.running_var"] = var
         out[f"{flat_name}_bn.num_batches_tracked"] = _num_batches()
 
 
@@ -108,9 +122,9 @@ def _emit_bn(
 ) -> None:
     out[f"{key}.weight"] = _np(node["scale"])
     out[f"{key}.bias"] = _np(node["bias"])
-    stats_node = stats_node or {}
-    out[f"{key}.running_mean"] = _np(stats_node["mean"])
-    out[f"{key}.running_var"] = _np(stats_node["var"])
+    mean, var = _bn_stats_or_fresh(stats_node or {}, _np(node["scale"]).shape)
+    out[f"{key}.running_mean"] = mean
+    out[f"{key}.running_var"] = var
     out[f"{key}.num_batches_tracked"] = _num_batches()
 
 

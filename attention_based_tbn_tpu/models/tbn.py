@@ -264,7 +264,9 @@ class TBNModel(nn.Module):
 
     @property
     def pallas_active(self) -> bool:
-        return self.spec.use_pallas and jax.default_backend() != "cpu"
+        # TPU only (the kernels use pltpu VMEM block specs): any other
+        # backend — cpu, gpu — takes the jnp composition.
+        return self.spec.use_pallas and jax.default_backend() == "tpu"
 
     def _make_tower(self, modality: str) -> nn.Module:
         name = f"Base_{modality}"
@@ -478,6 +480,12 @@ class TBNModel(nn.Module):
             # the DROP condition — p is effectively the keep probability;
             # that counterintuitive polarity is reproduced exactly. The
             # data-dependent branch becomes a traced select here).
+            # With learned attention the reference's branch is exclusive:
+            # a dropped step never assigns att_wts and model.py:259-260
+            # NameErrors — the combination is untrainable there. Here the
+            # attention weights are still produced (and keep feeding the
+            # aux losses) while the fused feature is zeroed; PARITY.md
+            # item 13.
             u = jax.random.uniform(self.make_rng("audio_dropout"), ())
             drop = u > spec.audio_dropout
             attended = self._attend(batch, features, feature, b, n, train)
