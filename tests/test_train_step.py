@@ -480,3 +480,97 @@ class TestFusedAccum:
         np.testing.assert_allclose(
             float(losses["total"][1]), float(ref_loss["total"]), rtol=2e-5
         )
+
+
+class TestMultiFusedStep:
+    """make_multi_fused_step: K scanned fused-accumulation updates must
+    reproduce K sequential make_fused_accum_step calls (the composition of
+    the two tested paths; the trainer deliberately does not wire it —
+    fuse_accum measured slower on v5e — but the benchmark drives it, so
+    its semantics are pinned here)."""
+
+    @pytest.mark.slow  # compiles the scanned + per-update fused programs
+    def test_matches_sequential_fused_updates(self):
+        from attention_based_tbn_tpu.parallel.train_step import (
+            make_fused_accum_step,
+            make_multi_fused_step,
+        )
+
+        cfg = small_cfg(**{
+            "train.optim.accumulator_step": 2,
+            "tpu.compute_dtype": "float32",
+        })
+        spec = TBNSpec.from_config(cfg, ["RGB"])
+        model = TBNModel(spec)
+        mesh = make_mesh(cfg)
+
+        rng_np = np.random.default_rng(3)
+        groups = []  # K=2 updates x G=2 micro-batches
+        for _ in range(4):
+            bb = {
+                "RGB": jnp.asarray(
+                    rng_np.standard_normal((B, N, H, W, 3)), jnp.float32
+                )
+            }
+            tt = {
+                "class": {
+                    "verb": jnp.asarray(rng_np.integers(0, 7, B)),
+                    "noun": jnp.asarray(rng_np.integers(0, 9, B)),
+                }
+            }
+            groups.append((shard_batch(bb, mesh), shard_batch(tt, mesh)))
+
+        params = model.init(jax.random.key(0), groups[0][0], train=False)[
+            "params"
+        ]
+        tx_raw, _ = build_optimizer(cfg, params, ["RGB"], accumulate=False)
+        state_seq = create_train_state(
+            model, groups[0][0], tx_raw, jax.random.key(0)
+        )
+        state_multi = jax.tree.map(jnp.copy, state_seq)
+        rng = jax.random.key(5)
+
+        def stack(trees):
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+        fused = make_fused_accum_step(model, tx_raw, cfg, mesh)
+        seq_losses = []
+        for k in range(2):
+            bsk = stack([groups[2 * k][0], groups[2 * k + 1][0]])
+            tsk = stack([groups[2 * k][1], groups[2 * k + 1][1]])
+            state_seq, loss, _ = fused(
+                state_seq, bsk, tsk, rng, jnp.asarray(0), [B, B]
+            )
+            seq_losses.append(np.asarray(loss["total"]))
+
+        multi = make_multi_fused_step(model, tx_raw, cfg, mesh, steps=2)
+        batches = stack([
+            stack([groups[0][0], groups[1][0]]),
+            stack([groups[2][0], groups[3][0]]),
+        ])
+        targetss = stack([
+            stack([groups[0][1], groups[1][1]]),
+            stack([groups[2][1], groups[3][1]]),
+        ])
+        state_multi, losses, _ = multi(
+            state_multi, batches, targetss, rng, jnp.asarray(0)
+        )
+
+        # per-(update, group) losses: update 1 runs on identical params in
+        # both paths -> tight; update 2 compounds the executables' fp32
+        # reassociation through one optimizer step -> loose
+        np.testing.assert_allclose(
+            np.asarray(losses["total"][0]), seq_losses[0], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses["total"][1]), seq_losses[1], rtol=5e-3
+        )
+        for a, b in zip(
+            jax.tree.leaves(state_multi.params), jax.tree.leaves(state_seq.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+        for a, b in zip(
+            jax.tree.leaves(state_multi.batch_stats),
+            jax.tree.leaves(state_seq.batch_stats),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
