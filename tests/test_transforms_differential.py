@@ -38,12 +38,16 @@ pytestmark = pytest.mark.skipif(
 
 
 def _stub(name, **attrs):
-    if name in sys.modules:
-        return sys.modules[name]
-    mod = types.ModuleType(name)
+    # merge into an existing stub (test_whole_model_parity._stub_module
+    # notes why: stub attribute sets differ per suite and test order must
+    # not matter)
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
     for key, value in attrs.items():
-        setattr(mod, key, value)
-    sys.modules[name] = mod
+        if not hasattr(mod, key):
+            setattr(mod, key, value)
     return mod
 
 

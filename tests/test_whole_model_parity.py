@@ -55,12 +55,18 @@ pytestmark = pytest.mark.skipif(
 
 
 def _stub_module(name, **attrs):
-    if name in sys.modules:
-        return sys.modules[name]
-    mod = types.ModuleType(name)
+    # MERGE into an existing stub: another differential suite may have
+    # registered the module earlier with different attributes (e.g. the
+    # dataset loaders stub torchvision with only .transforms; the reference
+    # vgg/resnet need .models) — returning it unchanged breaks whichever
+    # suite runs second, a function of test order.
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
     for key, value in attrs.items():
-        setattr(mod, key, value)
-    sys.modules[name] = mod
+        if not hasattr(mod, key):
+            setattr(mod, key, value)
     return mod
 
 
