@@ -38,8 +38,20 @@ def _history_path(path: str) -> str:
 
 def _checkpointer() -> ocp.AsyncCheckpointer:
     if _ASYNC["checkpointer"] is None:
+        kwargs = {}
+        if jax.process_count() > 1:
+            # save_checkpoint is multi-host-gated: only process 0 (holding
+            # the state as plain host numpy) ever calls save, so orbax must
+            # not run its cross-process sync_global_processes barriers —
+            # the other processes never join them and the stray collective
+            # collides with whatever barrier they reach next (caught by
+            # tests/test_multiprocess.py; invisible to in-process mesh
+            # tests where process_count()==1 makes the barriers no-ops).
+            kwargs["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            )
         _ASYNC["checkpointer"] = ocp.AsyncCheckpointer(
-            ocp.StandardCheckpointHandler()
+            ocp.StandardCheckpointHandler(), **kwargs
         )
     return _ASYNC["checkpointer"]
 
