@@ -8,6 +8,10 @@ core/models/model_builder.py:73-75; multi-host is beyond-reference surface).
 
 With ``--nprocs 1`` the same script runs the identical recipe single-process
 on an 8-device mesh, giving the cross-topology differential baseline.
+``--resume`` restores from the out dir's checkpoint before training
+(reference resume-extends-epochs semantics) and ``--skip-test`` skips the
+tester pass — together they drive the multi-process preemption-recovery
+test.
 
 Not a pytest module (no ``test_`` prefix): launched by
 tests/test_multiprocess.py via subprocess.
@@ -53,6 +57,17 @@ def make_cfg(load_config, root: str, out: str, exp: str, extra=None):
     return load_config(overrides=[f"{k}={v}" for k, v in base.items()])
 
 
+def phase_barrier(name: str) -> None:
+    """Cross-process phase sync via the coordination service (10-minute
+    timeout) — deliberately NOT a Gloo collective: host-side skew at phase
+    edges can exceed Gloo's hardcoded ~30 s context deadline (e.g. process
+    0 alone flushes + swaps the async checkpoint while the other ranks
+    already idle at the barrier)."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, 600_000)
+
+
 def param_fingerprint(tree):
     import jax
     import numpy as np
@@ -71,6 +86,18 @@ def main() -> None:
     ap.add_argument("--root", required=True, help="synthetic fixture root")
     ap.add_argument("--out", required=True, help="out_dir for this run")
     ap.add_argument("--exp", default="mp")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from this out dir's checkpoint (reference semantics: "
+        "extends total epochs by the restored epoch count)",
+    )
+    ap.add_argument(
+        "--skip-test",
+        action="store_true",
+        help="train only: skip the run_tester pass (faster phase-1 runs "
+        "for resume tests)",
+    )
     args = ap.parse_args()
 
     # Device topology BEFORE importing jax: nprocs x local = 8 global
@@ -109,6 +136,13 @@ def main() -> None:
             np_.ones(local_devices, np_.float32),
         )
         assert float(jnp.sum(sharded)) == float(len(jax.devices()))
+        # ... and the one-device-per-process allgather clique used by
+        # jax.experimental.multihost_utils (which orbax's internal
+        # barriers route through) — a separate Gloo context with its own
+        # 30 s rendezvous window.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mp_worker_gloo_warmup")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -127,7 +161,11 @@ def main() -> None:
     logger = logging.getLogger(f"mp{args.pid}")
 
     modality = ["RGB", "Audio"]
-    cfg = make_cfg(load_config, args.root, args.out, args.exp)
+    ckpt_name = os.path.join(
+        args.out, "tbn_weights", args.exp, "epic_tbn_bninception_RGB_Audio"
+    )
+    extra = {"train.pre_trained": ckpt_name} if args.resume else None
+    cfg = make_cfg(load_config, args.root, args.out, args.exp, extra=extra)
     state = run_trainer(cfg, logger, modality, writer=None)
     fp = param_fingerprint(state.params)
     stats_fp = param_fingerprint(state.batch_stats)
@@ -135,13 +173,7 @@ def main() -> None:
     if args.nprocs > 1:
         # run_trainer's wait_until_finished makes the checkpoint durable on
         # process 0 only; the others must not race it to the restore below
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("checkpoint_durable")
-
-    ckpt = os.path.join(
-        args.out, "tbn_weights", args.exp, "epic_tbn_bninception_RGB_Audio"
-    )
+        phase_barrier("checkpoint_durable")
 
     # Save-path integrity: the restored tree must BE the live train state
     # (catches silent corruption between the replicated device arrays and
@@ -150,7 +182,7 @@ def main() -> None:
 
     from attention_based_tbn_tpu.utils.checkpoint import restore_for_eval
 
-    r_params, r_stats, _ = restore_for_eval(ckpt)
+    r_params, r_stats, hist = restore_for_eval(ckpt_name)
 
     def _max_leaf_diff(live, restored):
         diffs = [
@@ -168,29 +200,30 @@ def main() -> None:
 
     save_params_diff = _max_leaf_diff(state.params, r_params)
     save_stats_diff = _max_leaf_diff(state.batch_stats, r_stats)
-    cfg_test = make_cfg(
-        load_config,
-        args.root,
-        args.out,
-        args.exp,
-        extra={
-            "test.enable": True,
-            "test.annotation_file": "['annotations/epic_train_val.csv']",
-            "test.vid_list": os.path.join(args.root, "train_split.txt"),
-            "test.save_results": True,
-            "test.results_file": f"['{args.exp}.json']",
-            "test.pre_trained": ckpt,
-        },
-    )
-    results = run_tester(cfg_test, logger, modality)
-    loss, acc, _ = results[0]
+
+    loss, acc = {"total": float("nan")}, {}
+    if not args.skip_test:
+        cfg_test = make_cfg(
+            load_config,
+            args.root,
+            args.out,
+            args.exp,
+            extra={
+                "test.enable": True,
+                "test.annotation_file": "['annotations/epic_train_val.csv']",
+                "test.vid_list": os.path.join(args.root, "train_split.txt"),
+                "test.save_results": True,
+                "test.results_file": f"['{args.exp}.json']",
+                "test.pre_trained": ckpt_name,
+            },
+        )
+        results = run_tester(cfg_test, logger, modality)
+        loss, acc, _ = results[0]
 
     if args.nprocs > 1:
-        from jax.experimental import multihost_utils
-
         # keep every process alive until process 0 has written the results
         # file (collective teardown mid-write would abort it)
-        multihost_utils.sync_global_devices("results_written")
+        phase_barrier("results_written")
 
     # Machine-readable line the parent test parses (one per rank).
     print(
@@ -203,6 +236,8 @@ def main() -> None:
                 "stats_fingerprint": stats_fp,
                 "save_params_diff": save_params_diff,
                 "save_stats_diff": save_stats_diff,
+                "epoch": int(hist.get("epoch", -1)),
+                "train_loss_epochs": len(hist.get("train_loss", [])),
                 "test_loss_total": float(loss["total"]),
                 "test_acc": {k: [float(x) for x in v] for k, v in acc.items()},
             }

@@ -78,12 +78,12 @@ def _parse_result(stdout: str) -> dict:
     raise AssertionError(f"no MPWORKER line in worker stdout:\n{stdout[-2000:]}")
 
 
-def _launch(pid, nprocs, port, root, out, exp):
+def _launch(pid, nprocs, port, root, out, exp, extra=()):
     return subprocess.Popen(
         [
             sys.executable, WORKER,
             "--pid", str(pid), "--nprocs", str(nprocs), "--port", str(port),
-            "--root", root, "--out", out, "--exp", exp,
+            "--root", root, "--out", out, "--exp", exp, *extra,
         ],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
@@ -93,9 +93,11 @@ def _launch(pid, nprocs, port, root, out, exp):
     )
 
 
-def _run_topology(nprocs, root, out, exp, timeout=2400):
+def _run_topology(nprocs, root, out, exp, timeout=2400, extra=()):
     port = _free_port()
-    procs = [_launch(p, nprocs, port, root, out, exp) for p in range(nprocs)]
+    procs = [
+        _launch(p, nprocs, port, root, out, exp, extra) for p in range(nprocs)
+    ]
     outs = []
     for proc in procs:
         try:
@@ -245,3 +247,55 @@ def test_two_process_spmd_matches_single_process(fixture_root, tmp_path):
                     scores_m[cls], val_s, rtol=5e-2, atol=2e-2,
                     err_msg=f"uid {uid} head {head} class {cls}",
                 )
+
+
+@pytest.mark.slow
+def test_two_process_resume_extends_epochs(fixture_root, tmp_path):
+    """Preemption recovery at production fidelity: train one epoch under
+    2-process jax.distributed, then RELAUNCH the same 2-process topology
+    resuming from the checkpoint (``train.pre_trained``). The resume must
+    restore on every rank (orbax restore barriers align across processes),
+    extend total epochs by the restored count (reference semantics,
+    core/tools/train.py:219-236), train the second epoch with cross-process
+    collectives, and save a durable epoch-1 checkpoint whose restored tree
+    is bitwise the live post-resume state on both ranks."""
+    out = str(tmp_path / "resume")
+
+    first = _run_topology(
+        2, fixture_root, out, "mpr", extra=("--skip-test",)
+    )
+    for res in first:
+        assert res["epoch"] == 0 and res["train_loss_epochs"] == 1, res
+
+    resumed = _run_topology(2, fixture_root, out, "mpr", extra=("--resume",))
+    rank0, rank1 = resumed
+
+    # resume extended the run by the restored epoch: history now holds two
+    # epochs and the checkpoint is epoch 1
+    for res in resumed:
+        assert res["epoch"] == 1, res
+        assert res["train_loss_epochs"] == 2, res
+        # live-vs-restored checkpoint integrity stays bitwise post-resume
+        assert res["save_params_diff"] < 1e-12, res
+        assert res["save_stats_diff"] < 1e-12, res
+
+    # both ranks hold the same replicated state after the resumed epoch
+    np.testing.assert_allclose(
+        rank0["param_fingerprint"], rank1["param_fingerprint"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        rank0["stats_fingerprint"], rank1["stats_fingerprint"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        rank0["test_loss_total"], rank1["test_loss_total"], rtol=1e-6
+    )
+
+    # the resumed run actually trained: parameters moved from the phase-1
+    # checkpoint's state
+    assert rank0["param_fingerprint"] != first[0]["param_fingerprint"]
+
+    # history sidecar agrees with what the workers reported
+    _, hist = _load_history(out, "mpr")
+    assert hist["epoch"] == 1
+    assert len(hist["train_loss"]) == 2
+    assert len(hist["validation_loss"]) == 2
