@@ -17,6 +17,7 @@ import pandas as pd
 class EpicClasses:
     def __init__(self, annotation_dir: str):
         self.annotation_dir = annotation_dir
+        self._class_keys: dict = {}
         self.verb_df = self._load("EPIC_verb_classes.csv", "verbs", "verb_id")
         self.noun_df = self._load("EPIC_noun_classes.csv", "nouns", "noun_id")
         action_path = os.path.join(annotation_dir, "action_id_to_name.pkl")
@@ -27,6 +28,11 @@ class EpicClasses:
     def _load(self, filename: str, list_col: str, id_col: str) -> pd.DataFrame:
         path = os.path.join(self.annotation_dir, filename)
         table = pd.read_csv(path)
+        # the canonical (un-exploded) class-name list, indexable by class id
+        # (reference epic_class.py:12-18 `verbs` / :33-38 `nouns` properties
+        # return the csv's class_key column)
+        if "class_key" in table.columns:
+            self._class_keys[list_col] = table["class_key"].tolist()
         # EPIC ships the synonym list as a stringified python list; explode it
         # so each synonym maps to its class id (reference epic_class.py:24-45).
         cols = table.columns.tolist()
@@ -40,6 +46,16 @@ class EpicClasses:
         )
         exploded = table.explode(syn_name).rename(columns={syn_name: list_col})
         return exploded.reset_index(drop=True)
+
+    @property
+    def verbs(self):
+        """Class-id-indexed verb names (reference epic_class.py:12-18)."""
+        return self._class_keys.get("verbs", [])
+
+    @property
+    def nouns(self):
+        """Class-id-indexed noun names (reference epic_class.py:33-38)."""
+        return self._class_keys.get("nouns", [])
 
     def verb_id(self, verb: str) -> int:
         return int(self.verb_df.query("verbs == @verb")[

@@ -91,10 +91,19 @@ def create_dataset(cfg, modality, action_list=None, annotation_file=None):
     )
 
 
-def get_info(cfg, model, state, dataset, max_samples: Optional[int] = None):
+def get_info(
+    cfg, model, state, dataset, max_samples: Optional[int] = None, epic_classes=None
+):
     """Full no-grad sweep building the summary table (reference vis.py:30-93):
-    one row per sample with gt/pred classes and attention entropy."""
+    one row per sample with gt/pred classes and attention entropy.
+
+    ``epic_classes`` (an :class:`~..data.classes.EpicClasses`) additionally
+    maps class ids to names — ``gt_verb_name``/``pred_verb_name`` columns,
+    the reference table's presentation (vis.py:69-79 shows names only)."""
     infer = make_infer_step(model)
+    name_tables = {}
+    if epic_classes is not None:
+        name_tables = {"verb": epic_classes.verbs, "noun": epic_classes.nouns}
     rows: List[Dict] = []
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
     for index in range(n):
@@ -109,11 +118,21 @@ def get_info(cfg, model, state, dataset, max_samples: Optional[int] = None):
             row[f"pred_{key}"] = int(scores.argmax())
             if targets["class"] is not None:
                 row[f"gt_{key}"] = int(targets["class"][key][0])
+            names = name_tables.get(key)
+            if names:
+                row[f"pred_{key}_name"] = names[row[f"pred_{key}"]]
+                if f"gt_{key}" in row:
+                    row[f"gt_{key}_name"] = names[row[f"gt_{key}"]]
         if "weights" in preds:
-            wts = np.asarray(preds["weights"]).reshape(-1, preds["weights"].shape[-1])
-            p = wts + 1e-6
-            p = p / p.sum(-1, keepdims=True)
-            row["attn_entropy"] = float(-(p * np.log(p)).sum(-1).mean())
+            # the reference's exact entropy: -(w * log(w + 1e-6)).sum(1).mean()
+            # on the raw softmax weights (vis.py:80-86) — NOT a renormalized
+            # distribution; w rows already sum to 1
+            wts = np.asarray(preds["weights"], np.float32).reshape(
+                -1, preds["weights"].shape[-1]
+            )
+            row["attn_entropy"] = float(
+                -(wts * np.log(wts + 1e-6)).sum(-1).mean()
+            )
         rows.append(row)
     return rows
 

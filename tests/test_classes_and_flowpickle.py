@@ -31,6 +31,15 @@ class TestEpicClasses:
         ).to_csv(tmp_path / "EPIC_noun_classes.csv", index=False)
         return str(tmp_path)
 
+    def test_class_key_lists(self, ann_dir):
+        """``verbs``/``nouns`` are the class-id-indexed class_key lists the
+        reference exposes as properties (epic_class.py:12-18,33-38) and the
+        vis table indexes by predicted id (vis.py:69-79)."""
+        classes = EpicClasses(ann_dir)
+        assert classes.verbs == ["take", "put", "open"]
+        assert classes.nouns == ["door", "cup"]
+        assert classes.verbs[classes.verb_id("grab")] == "take"
+
     def test_synonym_lookup(self, ann_dir):
         classes = EpicClasses(ann_dir)
         assert classes.verb_id("take") == 0

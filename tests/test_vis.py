@@ -73,6 +73,46 @@ def test_get_info(setup):
     assert np.isfinite(row["attn_entropy"])
 
 
+def test_get_info_entropy_matches_reference_expression(setup):
+    """attn_entropy must be the reference's exact expression on the raw
+    attention weights — ``-(w * log(w + 1e-6)).sum(1).mean()`` (reference
+    vis.py:80-86), not a renormalized-distribution entropy. Recomputed here
+    through torch on an identical infer pass."""
+    torch = pytest.importorskip("torch")
+    cfg, model, state, dataset, root = setup
+    rows = vis.get_info(cfg, model, state, dataset, max_samples=1)
+
+    from attention_based_tbn_tpu.data.loader import collate
+    from attention_based_tbn_tpu.parallel.train_step import make_infer_step
+
+    batch, _, _ = collate([dataset.sample(0)])
+    preds = make_infer_step(model)(state, jax.tree.map(jnp.asarray, batch))
+    w = torch.from_numpy(
+        np.asarray(preds["weights"], np.float32).reshape(
+            -1, preds["weights"].shape[-1]
+        )
+    )
+    expected = (-1 * (w * torch.log(w + 1e-6)).sum(1)).mean().item()
+    assert rows[0]["attn_entropy"] == pytest.approx(expected, rel=1e-6)
+
+
+def test_get_info_maps_class_names(setup):
+    """With an EpicClasses-like table, get_info adds the name columns the
+    reference's qgrid table displays (vis.py:69-79)."""
+    cfg, model, state, dataset, root = setup
+
+    class Classes:
+        verbs = [f"verb_{i}" for i in range(7)]
+        nouns = [f"noun_{i}" for i in range(9)]
+
+    rows = vis.get_info(
+        cfg, model, state, dataset, max_samples=1, epic_classes=Classes()
+    )
+    row = rows[0]
+    assert row["pred_verb_name"] == f"verb_{row['pred_verb']}"
+    assert row["gt_noun_name"] == f"noun_{row['gt_noun']}"
+
+
 def test_visualize_renders_png(setup):
     cfg, model, state, dataset, root = setup
     out = vis.visualize(
