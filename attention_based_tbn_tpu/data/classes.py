@@ -47,15 +47,27 @@ class EpicClasses:
         exploded = table.explode(syn_name).rename(columns={syn_name: list_col})
         return exploded.reset_index(drop=True)
 
+    def _keys_or_raise(self, list_col: str):
+        # The reference raises AttributeError when the csv lacks class_key
+        # (epic_class.py accesses df.class_key unconditionally); fail loudly
+        # rather than silently returning an empty table.
+        if list_col not in self._class_keys:
+            raise AttributeError(
+                f"EpicClasses.{list_col}: the {list_col[:-1]} class csv in "
+                f"{self.annotation_dir} has no 'class_key' column, so "
+                f"class-id-indexed names are unavailable"
+            )
+        return self._class_keys[list_col]
+
     @property
     def verbs(self):
         """Class-id-indexed verb names (reference epic_class.py:12-18)."""
-        return self._class_keys.get("verbs", [])
+        return self._keys_or_raise("verbs")
 
     @property
     def nouns(self):
         """Class-id-indexed noun names (reference epic_class.py:33-38)."""
-        return self._class_keys.get("nouns", [])
+        return self._keys_or_raise("nouns")
 
     def verb_id(self, verb: str) -> int:
         return int(self.verb_df.query("verbs == @verb")[

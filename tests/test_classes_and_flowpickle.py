@@ -40,6 +40,24 @@ class TestEpicClasses:
         assert classes.nouns == ["door", "cup"]
         assert classes.verbs[classes.verb_id("grab")] == "take"
 
+    def test_missing_class_key_raises(self, tmp_path):
+        """A csv without class_key must fail loudly on .verbs/.nouns access,
+        matching the reference's AttributeError on df.class_key
+        (epic_class.py:12-18) rather than silently returning []."""
+        pd.DataFrame(
+            {"verb_id": [0], "verbs": ["['take']"]}
+        ).to_csv(tmp_path / "EPIC_verb_classes.csv", index=False)
+        pd.DataFrame(
+            {"noun_id": [0], "nouns": ["['door']"]}
+        ).to_csv(tmp_path / "EPIC_noun_classes.csv", index=False)
+        classes = EpicClasses(str(tmp_path))
+        with pytest.raises(AttributeError, match="class_key"):
+            classes.verbs
+        with pytest.raises(AttributeError, match="class_key"):
+            classes.nouns
+        # synonym lookup still works without class_key
+        assert classes.verb_id("take") == 0
+
     def test_synonym_lookup(self, ann_dir):
         classes = EpicClasses(ann_dir)
         assert classes.verb_id("take") == 0
