@@ -39,8 +39,23 @@ def generate(
     rgb_prefix: str = "links",
     flow_prefix: str = "links",
     audio_prefix: str = "audio",
+    learnable: bool = False,
 ) -> List[str]:
-    """Create the fixture tree under ``root``; returns the video id list."""
+    """Create the fixture tree under ``root``; returns the video id list.
+
+    ``learnable=True`` makes the class labels recoverable from the content
+    (for convergence tests / benchmarks, not just pipeline plumbing):
+
+    * verb class: brightness of each action span's upper image half;
+    * noun class: brightness of the lower half AND the frequency of a pure
+      tone spanning the whole video (one noun class per video, so audio
+      windows never straddle two classes);
+    * classes cycle deterministically over actions/videos so every class
+      appears in any >=num_classes-sized split.
+
+    ``learnable=False`` keeps the original content (random labels), byte
+    identical to earlier revisions for the differential replay tests.
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -49,7 +64,7 @@ def generate(
 
     rows = []
     uid = 0
-    for vid in videos:
+    for v_idx, vid in enumerate(videos):
         rgb_dir = os.path.join(root, rgb_prefix, vid)
         flow_dir = os.path.join(root, flow_prefix, vid)
         audio_dir = os.path.join(root, audio_prefix)
@@ -57,32 +72,86 @@ def generate(
         os.makedirs(flow_dir, exist_ok=True)
         os.makedirs(audio_dir, exist_ok=True)
 
-        base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        for i in range(frames_per_video):
-            shift = (i * 3) % w
-            frame = np.roll(base, shift, axis=1)
-            cv2.imwrite(os.path.join(rgb_dir, f"img_{i:010d}.jpg"), frame)
-        gray = base.mean(axis=2).astype(np.uint8)
-        for i in range(frames_per_video // 2 + 10):
-            cv2.imwrite(
-                os.path.join(flow_dir, f"x_{i:010d}.jpg"), np.roll(gray, i, axis=1)
-            )
-            cv2.imwrite(
-                os.path.join(flow_dir, f"y_{i:010d}.jpg"), np.roll(gray, i, axis=0)
-            )
-
-        duration = frames_per_video / fps
-        t = np.arange(int(duration * sampling_rate) + sampling_rate) / sampling_rate
-        tone = 0.3 * np.sin(2 * np.pi * (220 + 50 * rng.integers(8)) * t)
-        tone += 0.05 * rng.standard_normal(t.shape)
-        _write_wav(os.path.join(audio_dir, f"{vid}.wav"), tone, sampling_rate)
-
         span = frames_per_video // actions_per_video
+        if learnable:
+            vid_noun = v_idx % num_nouns
+            spans = []
+            for a in range(actions_per_video):
+                spans.append(
+                    (
+                        a * span + 2,
+                        min((a + 1) * span, frames_per_video - 1),
+                        (a + v_idx) % num_verbs,
+                        vid_noun,
+                    )
+                )
+            dv = 160.0 / max(num_verbs - 1, 1)
+            dn = 160.0 / max(num_nouns - 1, 1)
+            base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for i in range(frames_per_video):
+                act = next((s for s in spans if s[0] <= i <= s[1]), None)
+                if act is None:
+                    frame = np.roll(base, (i * 3) % w, axis=1)
+                else:
+                    _, _, verb_c, noun_c = act
+                    noise = rng.integers(-10, 10, (h, w, 3))
+                    frame = np.empty((h, w, 3), np.float64)
+                    frame[: h // 2] = 40.0 + verb_c * dv
+                    frame[h // 2 :] = 40.0 + noun_c * dn
+                    frame = np.clip(frame + noise, 0, 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(rgb_dir, f"img_{i:010d}.jpg"), frame)
+            gray = base.mean(axis=2).astype(np.uint8)
+            for i in range(frames_per_video // 2 + 10):
+                cv2.imwrite(
+                    os.path.join(flow_dir, f"x_{i:010d}.jpg"),
+                    np.roll(gray, i, axis=1),
+                )
+                cv2.imwrite(
+                    os.path.join(flow_dir, f"y_{i:010d}.jpg"),
+                    np.roll(gray, i, axis=0),
+                )
+
+            duration = frames_per_video / fps
+            t = (
+                np.arange(int(duration * sampling_rate) + sampling_rate)
+                / sampling_rate
+            )
+            tone = 0.3 * np.sin(2 * np.pi * (400.0 + vid_noun * 500.0) * t)
+            tone += 0.02 * rng.standard_normal(t.shape)
+            _write_wav(os.path.join(audio_dir, f"{vid}.wav"), tone, sampling_rate)
+        else:
+            base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for i in range(frames_per_video):
+                shift = (i * 3) % w
+                frame = np.roll(base, shift, axis=1)
+                cv2.imwrite(os.path.join(rgb_dir, f"img_{i:010d}.jpg"), frame)
+            gray = base.mean(axis=2).astype(np.uint8)
+            for i in range(frames_per_video // 2 + 10):
+                cv2.imwrite(
+                    os.path.join(flow_dir, f"x_{i:010d}.jpg"), np.roll(gray, i, axis=1)
+                )
+                cv2.imwrite(
+                    os.path.join(flow_dir, f"y_{i:010d}.jpg"), np.roll(gray, i, axis=0)
+                )
+
+            duration = frames_per_video / fps
+            t = (
+                np.arange(int(duration * sampling_rate) + sampling_rate)
+                / sampling_rate
+            )
+            tone = 0.3 * np.sin(2 * np.pi * (220 + 50 * rng.integers(8)) * t)
+            tone += 0.05 * rng.standard_normal(t.shape)
+            _write_wav(os.path.join(audio_dir, f"{vid}.wav"), tone, sampling_rate)
+
         for a in range(actions_per_video):
             start = a * span + 2
             stop = min((a + 1) * span, frames_per_video - 1)
-            verb = int(rng.integers(num_verbs))
-            noun = int(rng.integers(num_nouns))
+            if learnable:
+                verb = (a + v_idx) % num_verbs
+                noun = v_idx % num_nouns
+            else:
+                verb = int(rng.integers(num_verbs))
+                noun = int(rng.integers(num_nouns))
             rows.append(
                 {
                     "uid": uid,

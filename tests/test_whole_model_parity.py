@@ -170,7 +170,8 @@ def make_ref_cfg(attention_type="mha", enable=True, use_pe=True,
 
 
 def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
-                seed=0, fusion_dropout=0.5, freeze_base=False):
+                seed=0, fusion_dropout=0.5, freeze_base=False,
+                num_classes=None):
     mods = load_reference_models()
     ref_model = mods["refmodels.model"]
     ref_audio = mods["refmodels.bn_inception_audio"]
@@ -197,7 +198,7 @@ def make_oracle(modality, attention_type="mha", enable=True, use_pe=True,
 
     cfg = make_ref_cfg(attention_type=attention_type, enable=enable,
                        use_pe=use_pe, fusion_dropout=fusion_dropout,
-                       freeze_base=freeze_base)
+                       freeze_base=freeze_base, num_classes=num_classes)
     oracle = OracleTBN(cfg, list(modality), torch.device("cpu"))
     randomize_state_dict(oracle, seed=seed)
     return oracle.eval()
