@@ -113,6 +113,7 @@ def export_inference(
     batch_size: int = 1,
     num_segments: Optional[int] = None,
     serving_dtype: Optional[str] = None,
+    batch_buckets: Optional[Sequence[int]] = None,
     logger=None,
 ) -> Dict[str, str]:
     """Lower the flagship inference forward and save the serving bundle.
@@ -120,6 +121,10 @@ def export_inference(
     ``state``: a restored TrainState (tools/test.py restore path); when
     None, randomly initialized variables are exported (shape/compile
     validation without a checkpoint).
+    ``batch_buckets``: extra batch sizes to lower the SAME forward at
+    (e.g. ``[1]``) — written as ``module.b<k>.stablehlo.mlir`` next to the
+    main module so the server (tools/serve.py) can route a small request
+    to a small executable instead of padding it to the full batch.
     Returns the paths of the written artifacts.
     """
     from ..models.builder import build_model
@@ -188,6 +193,26 @@ def export_inference(
     with open(module_path, "w") as fh:
         fh.write(stablehlo)
 
+    # Extra batch buckets: the same forward lowered at smaller batches.
+    # Per-sample output row multipliers are batch-invariant, so the main
+    # manifest serves every bucket.
+    bucket_files = {str(batch_size): os.path.basename(module_path)}
+    for b in sorted(set(int(b) for b in (batch_buckets or []))):
+        if b == batch_size:
+            continue
+        if not 1 <= b < batch_size:
+            raise ValueError(
+                f"batch bucket {b} must be in [1, batch_size={batch_size})"
+            )
+        bucket_batch = _example_batch(cfg, modality, b, n_seg)
+        bucket_hlo = jax.jit(forward).lower(variables, bucket_batch).as_text(
+            dialect="stablehlo"
+        )
+        name = f"module.b{b}.stablehlo.mlir"
+        with open(os.path.join(out_dir, name), "w") as fh:
+            fh.write(bucket_hlo)
+        bucket_files[str(b)] = name
+
     params_path = os.path.join(out_dir, "params")
     import orbax.checkpoint as ocp
 
@@ -226,6 +251,9 @@ def export_inference(
         "param_leaf_count": len(jax.tree_util.tree_leaves(variables)),
         "num_segments": n_seg,
         "batch_size": batch_size,
+        # batch size -> module file; servers compile each and route a
+        # request to the smallest bucket that fits it
+        "batch_buckets": bucket_files,
         "serving_dtype": serving_dtype or "float32",
         "quantization": (
             {
@@ -286,11 +314,14 @@ def main():
 
         state = load_state(cfg, logger)
 
+    buckets = cfg.get_path("tpu.export_buckets", None)
     paths = export_inference(
         cfg,
         modality,
         state=state,
+        batch_size=int(cfg.get_path("tpu.export_batch", 1)),
         serving_dtype=str(cfg.get_path("tpu.serving_dtype", "") or "") or None,
+        batch_buckets=list(buckets) if buckets else None,
         logger=logger,
     )
     print(json.dumps(paths, indent=2))

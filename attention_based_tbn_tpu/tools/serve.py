@@ -33,6 +33,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -41,7 +42,19 @@ import numpy as np
 
 class ServingModel:
     """Compiled export bundle: params resident on device, predict() runs
-    the StableHLO module on a batch of numpy inputs."""
+    the StableHLO module on a batch of numpy inputs.
+
+    Concurrency: ``predict`` serializes device execution with a lock — the
+    bundle targets ONE device, so concurrent executes would only queue in
+    the PJRT stream anyway; the lock makes the queueing explicit and keeps
+    per-request latency accounting honest. HTTP handler threads
+    (ThreadingHTTPServer) still read/parse/respond concurrently.
+
+    Batch buckets: when the bundle carries extra modules lowered at
+    smaller batches (manifest ``batch_buckets``, tools/export.py
+    ``batch_buckets=[1, ...]``), each is compiled once at load and a
+    request routes to the smallest bucket that fits it — a b=1 request
+    costs a b=1 execution, not a pad to the full compiled batch."""
 
     def __init__(self, bundle_dir: str, platform: Optional[str] = None):
         import jax
@@ -67,16 +80,28 @@ class ServingModel:
 
         self._client = jax.extend.backend.get_backend()
         self._device = self._client.devices()[0]
-        self._executable = _compile(self._client, module, self._device)
+        self._input_specs = {
+            k: (tuple(v["shape"]), np.dtype(v["dtype"]))
+            for k, v in self.manifest["inputs"].items()
+        }
+        compiled_bs = next(iter(self._input_specs.values()))[0][0]
+        # batch size -> compiled executable; the main module always serves
+        # its own batch, extra buckets (if shipped) serve smaller requests
+        self._executables = {compiled_bs: _compile(self._client, module, self._device)}
+        for bs_str, fname in (self.manifest.get("batch_buckets") or {}).items():
+            bs = int(bs_str)
+            path = os.path.join(bundle_dir, fname)
+            if bs == compiled_bs or not os.path.exists(path):
+                continue
+            with open(path) as fh:
+                self._executables[bs] = _compile(self._client, fh.read(), self._device)
+        self.last_bucket: Optional[int] = None  # observability (tests/metrics)
+        self._lock = threading.Lock()
         # parameters transfer once; every predict() only moves the batch
         self._param_bufs = [
             self._client.buffer_from_pyval(np.asarray(a), self._device)
             for a in param_leaves
         ]
-        self._input_specs = {
-            k: (tuple(v["shape"]), np.dtype(v["dtype"]))
-            for k, v in self.manifest["inputs"].items()
-        }
         self._output_names = self.manifest.get("output_names") or list(
             self.manifest["outputs"]
         )
@@ -84,6 +109,17 @@ class ServingModel:
         # writes these from the traced output shapes); None on legacy
         # bundles -> fall back to the divisibility heuristic in predict()
         self._row_mult = self.manifest.get("output_row_multipliers")
+
+    @property
+    def max_request_bytes(self) -> int:
+        """Upper bound a server should accept for one request body: 2x the
+        full-batch input payload (npz container overhead, 64-bit clients)
+        plus 1 MiB slack."""
+        total = sum(
+            int(np.prod(shape)) * dtype.itemsize
+            for shape, dtype in self._input_specs.values()
+        )
+        return 2 * total + (1 << 20)
 
     @property
     def platform(self) -> str:
@@ -101,20 +137,22 @@ class ServingModel:
         return batch
 
     def _check(self, batch: Dict[str, np.ndarray]) -> tuple:
-        """Validate inputs; returns (leaves, true_batch).
+        """Validate inputs; returns (leaves, (true_batch, bucket_batch)).
 
         Requests smaller than the compiled batch are accepted: every input
-        must carry the SAME leading batch b <= compiled batch, rows are
-        padded by repeating the first sample (the training loader's pad
-        convention, data/loader.pad_batch) and outputs are trimmed back in
-        predict(). The module is batch-static — one executable, any b."""
+        must carry the SAME leading batch b <= compiled batch. The request
+        routes to the smallest compiled bucket >= b; rows are padded to
+        that bucket by repeating the first sample (the training loader's
+        pad convention, data/loader.pad_batch) and outputs are trimmed
+        back in predict(). Each bucket is batch-static — one executable
+        per bucket, any b."""
         if set(batch) != set(self._input_specs):
             raise ValueError(
                 f"inputs {sorted(batch)} != manifest {sorted(self._input_specs)}"
             )
         compiled_bs = next(iter(self._input_specs.values()))[0][0]
         true_bs = None
-        leaves = []
+        arrays = []
         for name in sorted(batch):  # pytree dict order = sorted keys
             shape, dtype = self._input_specs[name]
             arr = np.asarray(batch[name])
@@ -135,19 +173,25 @@ class ServingModel:
                     f"input {name!r}: batch {arr.shape[0]} != {true_bs} of "
                     "the other inputs"
                 )
-            if arr.shape[0] < shape[0]:
+            arrays.append(arr)
+        bucket_bs = min(b for b in self._executables if b >= true_bs)
+        leaves = []
+        for arr in arrays:
+            if arr.shape[0] < bucket_bs:
                 arr = np.concatenate(
-                    [arr, np.repeat(arr[:1], shape[0] - arr.shape[0], axis=0)]
+                    [arr, np.repeat(arr[:1], bucket_bs - arr.shape[0], axis=0)]
                 )
             leaves.append(np.ascontiguousarray(arr))
-        return leaves, (true_bs, compiled_bs)
+        return leaves, (true_bs, bucket_bs)
 
     def predict(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         leaves, (true_bs, compiled_bs) = self._check(batch)
+        self.last_bucket = compiled_bs
         bufs = self._param_bufs + [
             self._client.buffer_from_pyval(a, self._device) for a in leaves
         ]
-        outs = _execute(self._executable, bufs)
+        with self._lock:  # single device: serialize execution (class doc)
+            outs = _execute(self._executables[compiled_bs], bufs)
         arrays = [np.asarray(o) for o in outs]
         if len(arrays) < len(self._output_names):
             # zip would silently drop the missing outputs — a manifest /
@@ -239,6 +283,8 @@ def make_server(model: ServingModel, port: int):
                     "inputs": model.manifest["inputs"],
                     "outputs": model.manifest["outputs"],
                     "serving_dtype": model.manifest.get("serving_dtype"),
+                    "batch_buckets": sorted(model._executables),
+                    "max_request_bytes": model.max_request_bytes,
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
             else:
@@ -248,7 +294,21 @@ def make_server(model: ServingModel, port: int):
             if self.path != "/predict":
                 self._send(404, b"not found", "text/plain")
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", ""))
+            except ValueError:
+                self._send(411, b"Content-Length required", "text/plain")
+                return
+            if length < 0 or length > model.max_request_bytes:
+                # bound the request BEFORE reading the body: an oversize
+                # upload must not buffer unbounded bytes into the process
+                self._send(
+                    413,
+                    f"request {length} bytes exceeds limit "
+                    f"{model.max_request_bytes}".encode(),
+                    "text/plain",
+                )
+                return
             body = self.rfile.read(length)
             try:
                 with np.load(io.BytesIO(body)) as data:

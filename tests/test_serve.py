@@ -186,6 +186,176 @@ def test_ragged_batch_pads_and_trims(bundle):
         sm.predict(over)
 
 
+def test_http_adversarial_requests(bundle):
+    """Malformed clients get 4xx, never a crash or a hung server: garbage
+    body, truncated npz, missing input, wrong dtype, oversize request,
+    missing Content-Length (VERDICT r3 item 4)."""
+    import http.client
+    import os
+    import urllib.error
+    import urllib.request
+
+    from attention_based_tbn_tpu.tools.serve import (
+        ServingModel,
+        _npz_bytes,
+        make_server,
+    )
+
+    paths, *_ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    server = make_server(sm, 0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    def post(body, headers=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body, method="POST"
+        )
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status
+        except urllib.error.HTTPError as err:
+            err.read()
+            return err.code
+
+    try:
+        good = _npz_bytes(sm.example_batch(seed=1))
+
+        assert post(b"\x00\x01 not an npz at all") == 400
+        assert post(good[: len(good) // 2]) == 400  # truncated archive
+        assert post(_npz_bytes({"Flow": np.zeros((1, 2, 64, 64, 3), np.uint8)})) == 400
+        wrong_dtype = {
+            k: v.astype(np.float64) for k, v in sm.example_batch().items()
+        }
+        assert post(_npz_bytes(wrong_dtype)) == 400
+        wrong_rank = {k: v[0] for k, v in sm.example_batch().items()}
+        assert post(_npz_bytes(wrong_rank)) == 400
+
+        # oversize requests are rejected from the header, body never read
+        assert sm.max_request_bytes < 10 * (1 << 20)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", str(sm.max_request_bytes + 1))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        resp.read()
+        conn.close()
+
+        # missing Content-Length -> 411
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 411
+        resp.read()
+        conn.close()
+
+        # the server survived all of it
+        assert post(good) == 200
+    finally:
+        server.shutdown()
+
+
+def test_concurrent_requests_serialize_on_device(bundle):
+    """Parallel clients both get correct answers; device execution is
+    serialized by the ServingModel lock (the documented concurrency
+    decision), so results are identical to sequential ones."""
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    paths, *_ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    batches = [sm.example_batch(seed=s) for s in range(4)]
+    want = [sm.predict(b) for b in batches]
+
+    results = [None] * len(batches)
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = sm.predict(batches[i])
+        except Exception as exc:  # pragma: no cover - assertion below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(batches))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for got, exp in zip(results, want):
+        for key in exp:
+            np.testing.assert_array_equal(got[key], exp[key])
+
+
+@pytest.fixture(scope="module")
+def bundle_buckets(tmp_path_factory):
+    """Bundle compiled at batch 4 with an extra b=1 bucket module."""
+    from attention_based_tbn_tpu.tools.export import export_inference
+
+    tmp = tmp_path_factory.mktemp("serve_bundle_buckets")
+    cfg = load_config(
+        overrides=[
+            "model.attention.enable=False",
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+            "model.num_classes={verb: 5, noun: 7}",
+            "tpu.compute_dtype=float32",
+            f"out_dir={tmp}",
+        ]
+    )
+    return export_inference(
+        cfg, ["RGB"], batch_size=4, num_segments=2, batch_buckets=[1]
+    )
+
+
+def test_batch_buckets_route_and_match(bundle_buckets):
+    """A b=1 request runs on the b=1 executable (no pad to 4) and returns
+    the same logits the full-batch module computes for that row; requests
+    between buckets (b=2,3) fall up to the b=4 module."""
+    import os
+
+    from attention_based_tbn_tpu.tools.serve import ServingModel
+
+    sm = ServingModel(os.path.dirname(bundle_buckets["manifest"]))
+    assert sorted(sm._executables) == [1, 4]
+    assert sm.manifest["batch_buckets"]["1"] == "module.b1.stablehlo.mlir"
+
+    full = sm.example_batch(seed=13)
+    want = sm.predict(full)
+    assert sm.last_bucket == 4
+
+    one = sm.predict({k: v[:1] for k, v in full.items()})
+    assert sm.last_bucket == 1
+    for head in ("verb", "noun"):
+        assert one[head].shape[0] == 1
+        np.testing.assert_allclose(
+            one[head], want[head][:1], rtol=1e-5, atol=1e-5, err_msg=head
+        )
+
+    two = sm.predict({k: v[:2] for k, v in full.items()})
+    assert sm.last_bucket == 4  # no b=2 bucket: smallest fitting is 4
+    np.testing.assert_allclose(
+        two["verb"], want["verb"][:2], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_export_rejects_bad_bucket(bundle):
+    """Buckets outside [1, batch_size) are a loud export-time error."""
+    from attention_based_tbn_tpu.tools.export import export_inference
+
+    _, cfg, *_ = bundle
+    with pytest.raises(ValueError, match="bucket"):
+        export_inference(cfg, ["RGB"], batch_size=2, num_segments=2,
+                         batch_buckets=[3])
+
+
 @pytest.fixture(scope="module")
 def bundle_mha(tmp_path_factory):
     """Multi-input bundle (RGB+Audio, MHA attention): the weights output is
