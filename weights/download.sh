@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # Fetch the pretrained tower weights — the same Google-Drive bundle the
-# reference framework downloads (reference weights/download.sh), then
-# convert to the native NHWC .npz layout.
+# reference framework downloads (reference weights/download.sh) — then hand
+# off to prepare.sh for integrity check + conversion to the native NHWC
+# .npz layout + load verification. prepare.sh is the testable half (see
+# tests/test_weights_prepare.py); only this fetch needs network access.
 #
 # Requires network access (run OUTSIDE sandboxed environments) and either
 # gdown (pip install gdown) or wget+unzip.
@@ -32,31 +34,4 @@ fi
 unzip -o weights.zip
 rm -f weights.zip
 
-for f in imagenet_bninception_rgb.pth kinetics_bninception_flow.pth; do
-    if [ ! -f "$f" ]; then
-        echo "ERROR: expected $f in the bundle" >&2
-        exit 1
-    fi
-    sha256sum "$f"
-done
-
-# Optional ahead-of-time conversion to Orbax-free .npz (torch needed once).
-# PYTHONPATH=..: the package lives at the repo root, one level up from this
-# weights/ dir we cd'd into — without it `python -m` can't import it from a
-# plain (un-installed) checkout.
-if python -c "import torch" >/dev/null 2>&1; then
-    PYTHONPATH="..${PYTHONPATH:+:$PYTHONPATH}" \
-    python -m attention_based_tbn_tpu.models.convert_cli \
-        --input imagenet_bninception_rgb.pth --kind bninception \
-        --output imagenet_bninception_rgb.npz
-    PYTHONPATH="..${PYTHONPATH:+:$PYTHONPATH}" \
-    python -m attention_based_tbn_tpu.models.convert_cli \
-        --input kinetics_bninception_flow.pth --kind bninception \
-        --output kinetics_bninception_flow.npz
-    echo "Converted to .npz (loadable without torch)."
-else
-    echo "torch not importable: skipping .npz conversion (done lazily at load)."
-fi
-
-echo "Done. Gated parity tests activate automatically:"
-echo "  python -m pytest tests/test_pretrained_weights.py -v"
+exec bash ./prepare.sh  # we cd'd into the weights dir above
