@@ -10,6 +10,13 @@ towers over 25 segments/clip of 224x224 RGB + 10ch flow stacks + 2.1 s audio
 (spectrogram computed on device), mid-level fusion + MHA audio attention,
 verb/noun heads, segment consensus — i.e. the full flagship forward.
 
+SCOPE: this is the DEVICE throughput (host-resident pre-packed inputs, no
+decode in the loop) — the per-chip ceiling a production deployment scales
+its input hosts against. The loader-in-the-loop end-to-end number, with
+host JPEG/WAV decode + collate + H2D measured on this dev host, lives in
+benchmarks/pipeline_bench.py (receipts: PIPELINE_r04.json, PERF.md
+"Loader-in-the-loop").
+
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md), so the constant below estimates the reference PyTorch
 pipeline on an A100 for the same workload. Derivation (so the ratio is
@@ -150,6 +157,7 @@ def main():
                 "metric": "clips_per_sec_per_chip",
                 "value": round(value, 2),
                 "unit": "clips/s",
+                "scope": "device-only (see benchmarks/pipeline_bench.py)",
                 "vs_baseline": round(value / PYTORCH_A100_CLIPS_PER_SEC, 3),
                 "batch_size": batch_size,
                 "segments": n_segments,
