@@ -126,8 +126,12 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
         for key in cfg.model.num_classes.keys():
             output[key] = []
 
+        sweep_start = time.perf_counter()
+        first_done = first_clips = None
+        clips_done = 0
         for batch, targets, meta in loader:
             true_bs = meta["batch_size"]
+            clips_done += int(true_bs)
             if targets["class"] is not None:
                 labeled = True
                 loss, preds = eval_step(
@@ -136,6 +140,12 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
                 metric.update(preds, targets, loss, batch_size=true_bs)
             else:
                 preds = infer_step(state, batch)
+            if first_done is None:
+                # force the first batch to completion (a readback — on the
+                # tunneled platform block_until_ready returns early) so the
+                # sustained rate below excludes the compile
+                _ = float(np.asarray(next(iter(preds.values()))).sum())
+                first_done, first_clips = time.perf_counter(), clips_done
 
             if cfg.test.save_results:
                 # GLOBAL uid order, derived from the loader's pre-shard
@@ -150,6 +160,22 @@ def run_tester(cfg, logger, modality, state: Optional[TrainState] = None):
                 output["action_id"].append(np.asarray(uids))
                 for key in cfg.model.num_classes.keys():
                     output[key].append(np.asarray(preds[key])[:true_bs])
+
+        if clips_done:
+            # close the dispatch chain with one readback, then report the
+            # loader-in-the-loop rate (overall incl. compile; sustained
+            # excludes the first batch)
+            _ = float(np.asarray(next(iter(preds.values()))).sum())
+            end = time.perf_counter()
+            wall = end - sweep_start
+            msg = (
+                f"Inference throughput: {clips_done / wall:.2f} clips/s "
+                f"({clips_done} clips in {wall:.1f} s incl. compile"
+            )
+            if first_done is not None and clips_done > first_clips and end > first_done:
+                sustained = (clips_done - first_clips) / (end - first_done)
+                msg += f"; sustained {sustained:.2f} clips/s excl. first batch"
+            logger.info(msg + ")")
 
         if labeled:
             test_loss, test_acc, conf_mat = metric.compute()

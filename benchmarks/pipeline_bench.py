@@ -79,12 +79,6 @@ def run_main(overrides, timeout=3000):
     return proc.stdout + proc.stderr
 
 
-def parse_step_times(log):
-    """All '<x> s/step' readings, in order (tools/train.py:122-129 logs the
-    mean of the last log_interval steps)."""
-    return [float(m) for m in re.findall(r"([0-9.]+) s/step", log)]
-
-
 def bench_train(workers):
     log = run_main(
         common_overrides(workers)
@@ -94,22 +88,23 @@ def bench_train(workers):
             "train.epochs=2",
             "train.num_segments=3",
             f"val.vid_list={FIXTURE}/val_split.txt",
-            "val.batch_size=12",
+            "val.batch_size=10",  # 10 val actions = one full batch (no masked compile)
             "val.num_segments=3",
             "test.enable=False",
         ]
     )
-    times = parse_step_times(log)
-    if not times:
-        raise SystemExit("no step timings in train log")
-    # epoch 1 readings include the compile; sustained = the final epoch's
-    # last reading (warm cache, loader + device overlapped)
-    half = len(times) // 2
-    sustained = min(times[half:]) if half else times[-1]
+    # tools/train.py logs a metric-readback-synced per-epoch rate — the
+    # only honest wall on the async runtime (per-step walls are dispatch
+    # times). Epoch 1 includes the compile; the last epoch is sustained.
+    rates = [
+        float(m)
+        for m in re.findall(r"Train epoch throughput: ([0-9.]+) clips/s", log)
+    ]
+    if not rates:
+        raise SystemExit("no epoch throughput lines in train log")
     return {
-        "sustained_sec_per_step": round(sustained, 4),
-        "clips_per_sec": round(12 / sustained, 2),
-        "step_time_readings": [round(t, 3) for t in times],
+        "clips_per_sec": rates[-1],
+        "epoch_rates_clips_per_sec": rates,  # [with-compile, sustained...]
         "batch_size": 12,
         "segments": 3,
     }
@@ -145,16 +140,12 @@ def bench_test(workers):
         "batch_size": 10,
         "segments": 25,
     }
-    m = re.search(
-        r"Inference time: (\d+) hours, (\d+) minutes, (\d+) seconds", log
-    )
+    m = re.search(r"Inference throughput: ([0-9.]+) clips/s", log)
     if m:
-        infer_sec = int(m[1]) * 3600 + int(m[2]) * 60 + int(m[3])
-        out["inference_sec"] = infer_sec
-        if infer_sec:
-            # includes the first-batch compile/load; a lower bound on the
-            # sustained rate (tools/test.py logs no per-step times)
-            out["clips_per_sec_incl_compile"] = round(clips / infer_sec, 2)
+        out["clips_per_sec_incl_compile"] = float(m[1])
+    m = re.search(r"sustained ([0-9.]+) clips/s excl", log)
+    if m:
+        out["clips_per_sec"] = float(m[1])
     return out
 
 
@@ -190,36 +181,68 @@ def host_attribution(workers):
     samples = [ds.sample(i % len(ds), rng) for i in range(n)]
     decode_per_clip = (time.perf_counter() - start) / n
 
+    # eval geometry (25 segments) decodes ~8x the frames per clip
+    eval_cfg = load_config(
+        overrides=[
+            f"data_dir={FIXTURE}",
+            "test.num_segments=25",
+            "model.attention.type=mha",
+            "model.num_classes={verb: 11, noun: 13}",
+        ]
+    )
+    ds_eval = VideoDataset(
+        eval_cfg,
+        TRAIN_VIDEOS,
+        "annotations/epic_train_val.csv",
+        ["RGB", "Flow", "Audio"],
+        mode="test",
+    )
+    start = time.perf_counter()
+    for i in range(6):
+        ds_eval.sample(i)
+    eval_decode_per_clip = (time.perf_counter() - start) / 6
+
     start = time.perf_counter()
     for i in range(0, 36, 12):
         batch, targets, _ = collate(samples[i : i + 12])
         pad_batch(batch, targets, 12)
     collate_per_clip = (time.perf_counter() - start) / 36
 
-    # H2D of one collated batch on the real chip
+    # H2D of one collated train batch, forced to completion by a readback
+    # (on the tunneled platform block_until_ready returns before the
+    # transfer lands, so a bare device_put timing would be fiction)
     import jax
+    import jax.numpy as jnp
 
     batch, _, _ = collate(samples[:12])
-    put = jax.device_put(batch)
-    jax.block_until_ready(put)
+    nbytes = sum(np.asarray(v).nbytes for v in batch.values())
+    reduce_fn = jax.jit(
+        lambda b: sum(jnp.sum(v.astype(jnp.float32)) for v in b.values())
+    )
+    _ = float(reduce_fn(jax.device_put(batch)))  # warm the reduction
     start = time.perf_counter()
-    for _ in range(5):
-        put = jax.device_put(batch)
-        jax.block_until_ready(put)
-    h2d_per_clip = (time.perf_counter() - start) / (5 * 12)
+    iters = 3
+    for _ in range(iters):
+        _ = float(reduce_fn(jax.device_put(batch)))
+    h2d_per_batch = (time.perf_counter() - start) / iters
+    h2d_per_clip = h2d_per_batch / 12
 
     return {
         "decode_transform_ms_per_clip_1thread": round(decode_per_clip * 1e3, 2),
-        "collate_pad_ms_per_clip": round(collate_per_clip * 1e3, 2),
-        "h2d_ms_per_clip": round(h2d_per_clip * 1e3, 2),
-        "host_serial_clips_per_sec_1thread": round(
-            1.0 / (decode_per_clip + collate_per_clip + h2d_per_clip), 2
+        "eval25seg_decode_ms_per_clip_1thread": round(
+            eval_decode_per_clip * 1e3, 2
         ),
+        "collate_pad_ms_per_clip": round(collate_per_clip * 1e3, 2),
+        "h2d_ms_per_clip_THIS_TUNNEL": round(h2d_per_clip * 1e3, 2),
+        "h2d_mb_per_s_THIS_TUNNEL": round(nbytes / h2d_per_batch / 1e6, 1),
+        "batch_mb": round(nbytes / 1e6, 1),
         "loader_threads": workers,
         "host_cpus": os.cpu_count(),
-        "note": "decode scales ~linearly with loader threads/cores "
-        "(benchmarks/loader_bench.py); device floors from "
-        "benchmarks/perf_ledger.jsonl",
+        "note": "the dev-host tunnel moves ~5-7 MB/s, so H2D dominates the "
+        "end-to-end rate HERE (a production host's PCIe is >1 GB/s and "
+        "makes decode the binding host stage); decode scales ~linearly "
+        "with loader threads/cores (benchmarks/loader_bench.py); device "
+        "floors from benchmarks/perf_ledger.jsonl",
     }
 
 
