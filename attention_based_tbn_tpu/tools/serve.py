@@ -136,23 +136,16 @@ class ServingModel:
                 batch[name] = (rng.standard_normal(shape) * 0.1).astype(dtype)
         return batch
 
-    def _check(self, batch: Dict[str, np.ndarray]) -> tuple:
-        """Validate inputs; returns (leaves, (true_batch, bucket_batch)).
-
-        Requests smaller than the compiled batch are accepted: every input
-        must carry the SAME leading batch b <= compiled batch. The request
-        routes to the smallest compiled bucket >= b; rows are padded to
-        that bucket by repeating the first sample (the training loader's
-        pad convention, data/loader.pad_batch) and outputs are trimmed
-        back in predict(). Each bucket is batch-static — one executable
-        per bucket, any b."""
+    def _validate(self, batch: Dict[str, np.ndarray]) -> tuple:
+        """Validate names/dtypes/shapes; returns ({name: array}, true_bs).
+        Raises ValueError for anything a client could get wrong — callers
+        turn that into a 4xx."""
         if set(batch) != set(self._input_specs):
             raise ValueError(
                 f"inputs {sorted(batch)} != manifest {sorted(self._input_specs)}"
             )
-        compiled_bs = next(iter(self._input_specs.values()))[0][0]
         true_bs = None
-        arrays = []
+        arrays = {}
         for name in sorted(batch):  # pytree dict order = sorted keys
             shape, dtype = self._input_specs[name]
             arr = np.asarray(batch[name])
@@ -173,10 +166,24 @@ class ServingModel:
                     f"input {name!r}: batch {arr.shape[0]} != {true_bs} of "
                     "the other inputs"
                 )
-            arrays.append(arr)
+            arrays[name] = arr
+        return arrays, true_bs
+
+    def _check(self, batch: Dict[str, np.ndarray]) -> tuple:
+        """Validate inputs; returns (leaves, (true_batch, bucket_batch)).
+
+        Requests smaller than the compiled batch are accepted: every input
+        must carry the SAME leading batch b <= compiled batch. The request
+        routes to the smallest compiled bucket >= b; rows are padded to
+        that bucket by repeating the first sample (the training loader's
+        pad convention, data/loader.pad_batch) and outputs are trimmed
+        back in predict(). Each bucket is batch-static — one executable
+        per bucket, any b."""
+        arrays, true_bs = self._validate(batch)
         bucket_bs = min(b for b in self._executables if b >= true_bs)
         leaves = []
-        for arr in arrays:
+        for name in sorted(arrays):
+            arr = arrays[name]
             if arr.shape[0] < bucket_bs:
                 arr = np.concatenate(
                     [arr, np.repeat(arr[:1], bucket_bs - arr.shape[0], axis=0)]
@@ -228,6 +235,104 @@ class ServingModel:
         return dict(zip(names, arrays))
 
 
+class BatchingFront:
+    """Request micro-batching: coalesce concurrent requests into one
+    device execution.
+
+    Handler threads call :meth:`submit`; a dispatcher thread drains the
+    queue, concatenates requests up to the largest compiled bucket's rows
+    (waiting at most ``window_ms`` after the first request arrives), runs
+    ONE ``predict`` on the combined batch, and splits the outputs back per
+    request using the manifest row multipliers. Under no concurrency a
+    request pays at most ``window_ms`` extra latency; under load,
+    concurrent clients share an execution instead of queueing serially on
+    the device lock. A request that would overflow the largest bucket is
+    carried into the next cycle, so ordering is preserved and nothing
+    starves. Outputs that are not per-row (row multiplier ``null``) are
+    returned whole to every request in the group."""
+
+    def __init__(self, model: ServingModel, window_ms: float = 2.0):
+        import queue
+
+        self.model = model
+        self.window = float(window_ms) / 1e3
+        self.max_rows = max(model._executables)
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        # validate on the caller's thread so a malformed request fails fast
+        # (4xx) and never reaches the dispatcher
+        arrays, true_bs = self.model._validate(batch)
+        item = {
+            "arrays": arrays,
+            "bs": true_bs,
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        self._queue.put(item)
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self):
+        import queue
+
+        carry = None
+        while True:
+            first = carry if carry is not None else self._queue.get()
+            carry = None
+            group, rows = [first], first["bs"]
+            deadline = time.perf_counter() + self.window
+            while rows < self.max_rows:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if rows + nxt["bs"] > self.max_rows:
+                    carry = nxt  # next cycle; preserves arrival order
+                    break
+                group.append(nxt)
+                rows += nxt["bs"]
+            self._dispatch(group, rows)
+
+    def _row_mult_for(self, name, arr, rows):
+        if self.model._row_mult is not None:
+            return self.model._row_mult.get(name)
+        lead = arr.shape[0] if arr.ndim else 0
+        return lead // rows if rows and lead % rows == 0 else None
+
+    def _dispatch(self, group, rows):
+        try:
+            combined = {
+                name: np.concatenate([g["arrays"][name] for g in group])
+                for name in group[0]["arrays"]
+            }
+            preds = self.model.predict(combined)
+        except Exception as exc:  # surface to every waiter in the group
+            for g in group:
+                g["error"] = exc
+                g["event"].set()
+            return
+        offset = 0
+        for g in group:
+            out = {}
+            for name, arr in preds.items():
+                k = self._row_mult_for(name, arr, rows)
+                out[name] = (
+                    arr[k * offset : k * (offset + g["bs"])] if k else arr
+                )
+            g["result"] = out
+            g["event"].set()
+            offset += g["bs"]
+
+
 def _compile(client, module: str, device):
     """Compile MLIR text with the PJRT client across jaxlib API flavors.
 
@@ -260,9 +365,16 @@ def _npz_bytes(arrays: Dict[str, np.ndarray]) -> bytes:
     return buf.getvalue()
 
 
-def make_server(model: ServingModel, port: int):
-    """stdlib HTTP server: POST /predict (.npz body) -> .npz response."""
+def make_server(model: ServingModel, port: int, batch_window_ms: float = 0.0):
+    """stdlib HTTP server: POST /predict (.npz body) -> .npz response.
+
+    ``batch_window_ms > 0`` enables request micro-batching: concurrent
+    requests arriving within the window are coalesced into one device
+    execution (:class:`BatchingFront`)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    front = BatchingFront(model, batch_window_ms) if batch_window_ms > 0 else None
+    run = front.submit if front else model.predict
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -285,6 +397,7 @@ def make_server(model: ServingModel, port: int):
                     "serving_dtype": model.manifest.get("serving_dtype"),
                     "batch_buckets": sorted(model._executables),
                     "max_request_bytes": model.max_request_bytes,
+                    "batch_window_ms": batch_window_ms,
                 }
                 self._send(200, json.dumps(info).encode(), "application/json")
             else:
@@ -313,7 +426,7 @@ def make_server(model: ServingModel, port: int):
             try:
                 with np.load(io.BytesIO(body)) as data:
                     batch = {k: data[k] for k in data.files}
-                preds = model.predict(batch)
+                preds = run(batch)
             except Exception as exc:  # surface shape/dtype errors to caller
                 self._send(400, str(exc).encode(), "text/plain")
                 return
@@ -354,13 +467,20 @@ def main():
     parser.add_argument(
         "--platform", default=None, help="jax platform override (cpu/tpu)"
     )
+    parser.add_argument(
+        "--batch-window",
+        type=float,
+        default=0.0,
+        help="micro-batching window in ms (0 = off): concurrent requests "
+        "arriving within the window share one device execution",
+    )
     args = parser.parse_args()
 
     model = ServingModel(args.bundle, platform=args.platform)
     if args.bench:
         print(json.dumps(bench(model, args.bench)))
     if args.port:
-        server = make_server(model, args.port)
+        server = make_server(model, args.port, batch_window_ms=args.batch_window)
         print(
             json.dumps(
                 {"serving": args.bundle, "port": args.port, "platform": model.platform}

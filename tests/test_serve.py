@@ -293,6 +293,128 @@ def test_concurrent_requests_serialize_on_device(bundle):
             np.testing.assert_array_equal(got[key], exp[key])
 
 
+class TestBatchingFront:
+    """Request micro-batching (tools/serve.BatchingFront)."""
+
+    @pytest.fixture()
+    def sm(self, bundle):
+        import os
+
+        from attention_based_tbn_tpu.tools.serve import ServingModel
+
+        paths, *_ = bundle
+        return ServingModel(os.path.dirname(paths["manifest"]))
+
+    def test_single_request_passes_through(self, sm):
+        from attention_based_tbn_tpu.tools.serve import BatchingFront
+
+        front = BatchingFront(sm, window_ms=1.0)
+        batch = {k: v[:1] for k, v in sm.example_batch(seed=2).items()}
+        want = sm.predict(batch)
+        got = front.submit(batch)
+        for key in want:
+            np.testing.assert_array_equal(got[key], want[key])
+
+    def test_concurrent_requests_coalesce_and_match(self, sm):
+        """Four concurrent b=1 requests (compiled batch 2): every client
+        gets exactly what a solo predict would return — row independence
+        holds because eval BatchNorm uses running statistics, so the
+        combined execution computes the same per-row math."""
+        from attention_based_tbn_tpu.tools.serve import BatchingFront
+
+        front = BatchingFront(sm, window_ms=50.0)
+        batches = [
+            {k: v[:1] for k, v in sm.example_batch(seed=s).items()}
+            for s in range(4)
+        ]
+        want = [sm.predict(b) for b in batches]
+
+        results = [None] * 4
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = front.submit(batches[i])
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        for got, exp in zip(results, want):
+            assert got is not None
+            for key in exp:
+                assert got[key].shape == exp[key].shape
+                np.testing.assert_array_equal(got[key], exp[key])
+
+    def test_malformed_request_fails_only_itself(self, sm):
+        from attention_based_tbn_tpu.tools.serve import BatchingFront
+
+        front = BatchingFront(sm, window_ms=1.0)
+        good = {k: v[:1] for k, v in sm.example_batch(seed=5).items()}
+        with pytest.raises(ValueError, match="manifest"):
+            front.submit({"Bogus": np.zeros((1, 2))})
+        got = front.submit(good)  # the dispatcher is still alive
+        np.testing.assert_array_equal(got["verb"], sm.predict(good)["verb"])
+
+
+def test_http_micro_batched_round_trip(bundle):
+    """The HTTP server with --batch-window: concurrent clients all get
+    correct responses through the coalescing path."""
+    import io
+    import os
+    import urllib.request
+
+    from attention_based_tbn_tpu.tools.serve import (
+        ServingModel,
+        _npz_bytes,
+        make_server,
+    )
+
+    paths, *_ = bundle
+    sm = ServingModel(os.path.dirname(paths["manifest"]))
+    server = make_server(sm, 0, batch_window_ms=20.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as resp:
+            assert json.loads(resp.read())["batch_window_ms"] == 20.0
+
+        batches = [
+            {k: v[:1] for k, v in sm.example_batch(seed=s).items()}
+            for s in range(3)
+        ]
+        want = [sm.predict(b) for b in batches]
+        results = [None] * 3
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=_npz_bytes(batches[i]),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                with np.load(io.BytesIO(resp.read())) as data:
+                    results[i] = {k: data[k] for k in data.files}
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for got, exp in zip(results, want):
+            assert got is not None
+            for key in exp:
+                np.testing.assert_array_equal(got[key], exp[key])
+    finally:
+        server.shutdown()
+
+
 @pytest.fixture(scope="module")
 def bundle_buckets(tmp_path_factory):
     """Bundle compiled at batch 4 with an extra b=1 bucket module."""
