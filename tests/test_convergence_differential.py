@@ -101,14 +101,14 @@ def fixture_root(tmp_path_factory):
     return root, train_vids, val_vids
 
 
-def make_cfg(root):
+def make_cfg(root, attention_type="mha"):
     return load_config(
         overrides=[
             f"data_dir={root}",
             "model.pretrained=False",
             f"model.num_classes={{verb: {NUM_VERBS}, noun: {NUM_NOUNS}}}",
             "model.attention.enable=True",
-            "model.attention.type=mha",
+            f"model.attention.type={attention_type}",
             "model.attention.use_entropy=True",
             f"model.attention.entropy_decay={ENTROPY_DECAY}",
             f"model.attention.entropy_thresh={ENTROPY_THRESH}",
@@ -181,10 +181,10 @@ def ce_loss(logits, labels):
 # ---------------------------------------------------------------------------
 
 
-def make_torch_side(seed):
+def make_torch_side(seed, attention_type="mha"):
     oracle = wmp.make_oracle(
         MODALITY,
-        attention_type="mha",
+        attention_type=attention_type,
         seed=seed,
         freeze_base=True,
         num_classes={"verb": NUM_VERBS, "noun": NUM_NOUNS},
@@ -207,14 +207,14 @@ def make_torch_side(seed):
     return oracle, opt, sched, criterion
 
 
-def make_ours_side(cfg, init_state_dict, seed):
+def make_ours_side(cfg, init_state_dict, seed, attention_type="mha"):
     params, stats = convert_tbn_checkpoint(init_state_dict, arch="bninception")
     spec = TBNSpec(
         modality=MODALITY,
         arch="bninception",
         num_classes=(("verb", NUM_VERBS), ("noun", NUM_NOUNS)),
         attention_enable=True,
-        attention_type="mha",
+        attention_type=attention_type,
         use_pe=True,
         attn_heads=4,
         attn_win=8,
@@ -237,14 +237,16 @@ def make_ours_side(cfg, init_state_dict, seed):
     return model, state, step_fn, eval_fn, rng
 
 
-def run_convergence(fixture_root, seed, epochs=EPOCHS):
+def run_convergence(fixture_root, seed, epochs=EPOCHS, attention_type="mha"):
     root, train_vids, val_vids = fixture_root
-    cfg = make_cfg(root)
+    cfg = make_cfg(root, attention_type)
     torch.manual_seed(seed)
 
-    oracle, opt, sched, criterion = make_torch_side(seed)
+    oracle, opt, sched, criterion = make_torch_side(seed, attention_type)
     init_sd = {k: v.clone() for k, v in oracle.state_dict().items()}
-    model, state, step_fn, eval_fn, rng = make_ours_side(cfg, init_sd, seed)
+    model, state, step_fn, eval_fn, rng = make_ours_side(
+        cfg, init_sd, seed, attention_type
+    )
 
     ds_train = VideoDataset(
         cfg, train_vids, "annotations/epic_train_val.csv", MODALITY, mode="train"
