@@ -6,6 +6,7 @@ compiled graph, same params) and round-trip over the stdlib HTTP server.
 
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -349,6 +350,61 @@ class TestBatchingFront:
             for key in exp:
                 assert got[key].shape == exp[key].shape
                 np.testing.assert_array_equal(got[key], exp[key])
+
+    def test_mixed_sizes_split_correctly(self, sm):
+        """Deterministic coverage of the output-splitting math: dispatch a
+        hand-built group (b=1 then b=1, offset > 0 for the second) and
+        check each waiter's slice against solo predicts."""
+        from attention_based_tbn_tpu.tools.serve import BatchingFront
+
+        front = BatchingFront(sm, window_ms=1.0)
+        reqs = []
+        for s in (21, 22):
+            batch = {k: v[:1] for k, v in sm.example_batch(seed=s).items()}
+            arrays, bs = sm._validate(batch)
+            reqs.append(
+                {
+                    "arrays": arrays,
+                    "bs": bs,
+                    "event": threading.Event(),
+                    "result": None,
+                    "error": None,
+                    "batch": batch,
+                }
+            )
+        front._dispatch(reqs, rows=2)
+        for req in reqs:
+            assert req["event"].is_set() and req["error"] is None
+            want = sm.predict(req["batch"])
+            for key in want:
+                np.testing.assert_array_equal(req["result"][key], want[key])
+
+    def test_overflow_carries_to_next_cycle(self, sm):
+        """A b=2 request arriving while a b=1 group is open overflows the
+        compiled batch (2) and must carry to the next cycle — both clients
+        still get solo-identical answers in every interleaving."""
+        from attention_based_tbn_tpu.tools.serve import BatchingFront
+
+        front = BatchingFront(sm, window_ms=40.0)
+        small = {k: v[:1] for k, v in sm.example_batch(seed=31).items()}
+        big = sm.example_batch(seed=32)  # full compiled batch (2)
+        want_small, want_big = sm.predict(small), sm.predict(big)
+
+        results = {}
+
+        def run(name, batch):
+            results[name] = front.submit(batch)
+
+        t1 = threading.Thread(target=run, args=("small", small))
+        t2 = threading.Thread(target=run, args=("big", big))
+        t1.start()
+        time.sleep(0.005)  # land inside the open window
+        t2.start()
+        t1.join(timeout=120)
+        t2.join(timeout=120)
+        for key in want_small:
+            np.testing.assert_array_equal(results["small"][key], want_small[key])
+            np.testing.assert_array_equal(results["big"][key], want_big[key])
 
     def test_malformed_request_fails_only_itself(self, sm):
         from attention_based_tbn_tpu.tools.serve import BatchingFront
