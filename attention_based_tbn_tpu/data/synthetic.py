@@ -40,6 +40,7 @@ def generate(
     flow_prefix: str = "links",
     audio_prefix: str = "audio",
     learnable: bool = False,
+    class_jitter: float = 0.0,
 ) -> List[str]:
     """Create the fixture tree under ``root``; returns the video id list.
 
@@ -53,10 +54,27 @@ def generate(
     * classes cycle deterministically over actions/videos so every class
       appears in any >=num_classes-sized split.
 
+    ``class_jitter`` (requires ``learnable=True``) makes the task
+    Bayes-limited instead of perfectly separable: every action's verb
+    signal and every video's noun signal is offset by a Gaussian draw of
+    the given sigma IN CLASS-STEP UNITS, so adjacent classes overlap and
+    the best achievable accuracy sits mid-range (for sigma ~0.5-0.6,
+    roughly P(|N(0,s)| < 1/2) interior ~ 0.6-0.7). The convergence
+    differential uses this so its cross-framework agreement bound
+    actually discriminates (a saturating fixture cannot). Jitter draws
+    come from a SEPARATE rng stream, so ``class_jitter=0`` remains byte
+    identical to the pre-jitter ``learnable=True`` output. With jitter on,
+    flow frames inside action spans also carry the (jittered) verb signal
+    so the Flow tower has something to learn.
+
     ``learnable=False`` keeps the original content (random labels), byte
     identical to earlier revisions for the differential replay tests.
     """
     import cv2
+
+    if class_jitter and not learnable:
+        raise ValueError("class_jitter requires learnable=True")
+    jrng = np.random.default_rng((seed, 77)) if class_jitter else None
 
     rng = np.random.default_rng(seed)
     videos = list(videos or ["P01_01", "P01_02"])
@@ -75,14 +93,19 @@ def generate(
         span = frames_per_video // actions_per_video
         if learnable:
             vid_noun = v_idx % num_nouns
+            noun_jit = float(jrng.normal(0.0, class_jitter)) if jrng is not None else 0.0
             spans = []
             for a in range(actions_per_video):
+                verb_jit = (
+                    float(jrng.normal(0.0, class_jitter)) if jrng is not None else 0.0
+                )
                 spans.append(
                     (
                         a * span + 2,
                         min((a + 1) * span, frames_per_video - 1),
                         (a + v_idx) % num_verbs,
                         vid_noun,
+                        verb_jit,
                     )
                 )
             dv = 160.0 / max(num_verbs - 1, 1)
@@ -93,15 +116,38 @@ def generate(
                 if act is None:
                     frame = np.roll(base, (i * 3) % w, axis=1)
                 else:
-                    _, _, verb_c, noun_c = act
+                    _, _, verb_c, noun_c, verb_jit = act
                     noise = rng.integers(-10, 10, (h, w, 3))
                     frame = np.empty((h, w, 3), np.float64)
-                    frame[: h // 2] = 40.0 + verb_c * dv
-                    frame[h // 2 :] = 40.0 + noun_c * dn
+                    frame[: h // 2] = 40.0 + (verb_c + verb_jit) * dv
+                    frame[h // 2 :] = 40.0 + (noun_c + noun_jit) * dn
                     frame = np.clip(frame + noise, 0, 255).astype(np.uint8)
                 cv2.imwrite(os.path.join(rgb_dir, f"img_{i:010d}.jpg"), frame)
             gray = base.mean(axis=2).astype(np.uint8)
             for i in range(frames_per_video // 2 + 10):
+                if jrng is not None:
+                    # flow frame i ~ rgb frame 2*i (stride-2 extraction);
+                    # carry the action's jittered verb signal so the Flow
+                    # tower has a learnable input in tri-modal runs
+                    act = next(
+                        (
+                            s
+                            for s in spans
+                            if s[0] <= min(2 * i, frames_per_video - 1) <= s[1]
+                        ),
+                        None,
+                    )
+                    if act is not None:
+                        _, _, verb_c, _, verb_jit = act
+                        level = np.clip(40.0 + (verb_c + verb_jit) * dv, 0, 255)
+                        fnoise = rng.integers(-10, 10, (h, w))
+                        fx = np.clip(level + fnoise, 0, 255).astype(np.uint8)
+                        fy = np.clip(level + rng.integers(-10, 10, (h, w)), 0, 255).astype(
+                            np.uint8
+                        )
+                        cv2.imwrite(os.path.join(flow_dir, f"x_{i:010d}.jpg"), fx)
+                        cv2.imwrite(os.path.join(flow_dir, f"y_{i:010d}.jpg"), fy)
+                        continue
                 cv2.imwrite(
                     os.path.join(flow_dir, f"x_{i:010d}.jpg"),
                     np.roll(gray, i, axis=1),
@@ -116,7 +162,9 @@ def generate(
                 np.arange(int(duration * sampling_rate) + sampling_rate)
                 / sampling_rate
             )
-            tone = 0.3 * np.sin(2 * np.pi * (400.0 + vid_noun * 500.0) * t)
+            tone = 0.3 * np.sin(
+                2 * np.pi * (400.0 + (vid_noun + noun_jit) * 500.0) * t
+            )
             tone += 0.02 * rng.standard_normal(t.shape)
             _write_wav(os.path.join(audio_dir, f"{vid}.wav"), tone, sampling_rate)
         else:

@@ -42,6 +42,39 @@ import jax
 import jax.numpy as jnp
 
 
+def _output_row_multipliers(
+    forward, variables, cfg, modality, batch_size, n_seg, output_names,
+    out_struct,
+):
+    """Per-output rows-per-sample, VERIFIED batch-invariant.
+
+    Divisibility of the leading dim by ``batch_size`` alone can mislabel a
+    genuinely global output (always at ``batch_size=1``) as per-row — and
+    the manifest is the serving source of truth that predict()/
+    BatchingFront trust for trimming/splitting. So an output is declared
+    per-row (multiplier k) only if its leading dim scales LINEARLY with
+    the batch: ``lead(b) == k*b`` at both the export batch and a second
+    abstract trace at ``b+1`` (eval_shape — no lowering, no compile).
+    Anything else is ``null``: served whole, never trimmed, and
+    BatchingFront refuses to coalesce across requests (tools/serve.py)."""
+    leaves1 = [leaf for _, leaf in jax.tree_util.tree_flatten_with_path(out_struct)[0]]
+    batch2 = _example_batch(cfg, modality, batch_size + 1, n_seg)
+    out_struct2 = jax.eval_shape(forward, variables, batch2)
+    leaves2 = [
+        leaf for _, leaf in jax.tree_util.tree_flatten_with_path(out_struct2)[0]
+    ]
+
+    mults = {}
+    for name, leaf1, leaf2 in zip(output_names, leaves1, leaves2):
+        k = None
+        if leaf1.shape and leaf2.shape and leaf1.shape[0] % batch_size == 0:
+            cand = leaf1.shape[0] // batch_size
+            if leaf2.shape[0] == cand * (batch_size + 1):
+                k = int(cand)
+        mults[name] = k
+    return mults
+
+
 def _is_quantized_leaf(x) -> bool:
     return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
 
@@ -237,17 +270,10 @@ def export_inference(
         # num_segments for attention weights on the folded batch; null =
         # not per-row, never trimmed) — tools/serve.py uses these to trim
         # ragged-batch responses instead of guessing from the runtime shape
-        "output_row_multipliers": {
-            name: (
-                int(leaf.shape[0]) // batch_size
-                if leaf.shape and leaf.shape[0] % batch_size == 0
-                else None
-            )
-            for name, (_, leaf) in zip(
-                output_names,
-                jax.tree_util.tree_flatten_with_path(out_struct)[0],
-            )
-        },
+        "output_row_multipliers": _output_row_multipliers(
+            forward, variables, cfg, modality, batch_size, n_seg,
+            output_names, out_struct,
+        ),
         "param_leaf_count": len(jax.tree_util.tree_leaves(variables)),
         "num_segments": n_seg,
         "batch_size": batch_size,

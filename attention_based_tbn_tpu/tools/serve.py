@@ -40,6 +40,20 @@ from typing import Dict, Optional
 import numpy as np
 
 
+class ServerFault(RuntimeError):
+    """Server-side failure (device execution, batching dispatcher, bundle
+    mismatch) — maps to HTTP 5xx. Client-input problems raise ValueError
+    and map to 4xx; keeping the two taxonomies distinct means an innocent
+    request coalesced with a faulting group-mate gets an honest 500/503,
+    never a 400 describing someone else's request."""
+
+
+class DispatcherTimeout(ServerFault):
+    """The batching dispatcher did not answer within the deadline — the
+    request's fate is unknown (wedged device call or dead dispatcher);
+    maps to 503 so clients know to retry elsewhere/later."""
+
+
 class ServingModel:
     """Compiled export bundle: params resident on device, predict() runs
     the StableHLO module on a batch of numpy inputs.
@@ -248,23 +262,68 @@ class BatchingFront:
     concurrent clients share an execution instead of queueing serially on
     the device lock. A request that would overflow the largest bucket is
     carried into the next cycle, so ordering is preserved and nothing
-    starves. Outputs that are not per-row (row multiplier ``null``) are
-    returned whole to every request in the group."""
+    starves.
 
-    def __init__(self, model: ServingModel, window_ms: float = 2.0):
+    Coalescing REQUIRES a manifest whose outputs are all declared per-row
+    (``output_row_multipliers`` present with no ``null`` values — verified
+    batch-invariant at export time, tools/export.py). A ``null`` output is
+    computed over the coalesced batch, i.e. over other clients' rows, and
+    could not be split back per request — construction refuses rather than
+    leak cross-request values. Construction raises ValueError for such
+    bundles (and legacy bundles without the manifest field).
+
+    ``submit`` waits at most ``submit_timeout_s`` for its result; expiry
+    raises :class:`DispatcherTimeout` (HTTP 503) so a wedged device call
+    or dead dispatcher cannot hang handler threads forever. ``close()``
+    stops the dispatcher thread (idempotent); make_server wires it to
+    ``server_close`` so embedding does not leak a thread per server."""
+
+    _SHUTDOWN = object()
+
+    def __init__(
+        self,
+        model: ServingModel,
+        window_ms: float = 2.0,
+        submit_timeout_s: float = 30.0,
+    ):
         import queue
 
+        mults = model._row_mult
+        if mults is None or any(v is None for v in mults.values()):
+            bad = (
+                sorted(k for k, v in (mults or {}).items() if v is None)
+                or "manifest missing output_row_multipliers"
+            )
+            raise ValueError(
+                "bundle not coalescable: outputs without a per-row "
+                f"multiplier would leak cross-request values: {bad}. "
+                "Serve without --batch-window or re-export with "
+                "tools/export.py (which verifies multipliers)."
+            )
         self.model = model
         self.window = float(window_ms) / 1e3
+        self.submit_timeout = float(submit_timeout_s)
         self.max_rows = max(model._executables)
         self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def close(self, join_timeout_s: float = 5.0):
+        """Stop the dispatcher thread. Idempotent; safe with requests in
+        flight (their submits time out with DispatcherTimeout)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(self._SHUTDOWN)
+        self._thread.join(join_timeout_s)
 
     def submit(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         # validate on the caller's thread so a malformed request fails fast
         # (4xx) and never reaches the dispatcher
         arrays, true_bs = self.model._validate(batch)
+        if self._closed:
+            raise ServerFault("batching front is closed")
         item = {
             "arrays": arrays,
             "bs": true_bs,
@@ -273,7 +332,11 @@ class BatchingFront:
             "error": None,
         }
         self._queue.put(item)
-        item["event"].wait()
+        if not item["event"].wait(self.submit_timeout):
+            raise DispatcherTimeout(
+                f"no result within {self.submit_timeout:.0f}s — dispatcher "
+                "wedged or shut down"
+            )
         if item["error"] is not None:
             raise item["error"]
         return item["result"]
@@ -285,6 +348,8 @@ class BatchingFront:
         while True:
             first = carry if carry is not None else self._queue.get()
             carry = None
+            if first is self._SHUTDOWN:
+                return
             group, rows = [first], first["bs"]
             deadline = time.perf_counter() + self.window
             while rows < self.max_rows:
@@ -295,18 +360,15 @@ class BatchingFront:
                     nxt = self._queue.get(timeout=timeout)
                 except queue.Empty:
                     break
+                if nxt is self._SHUTDOWN:
+                    self._dispatch(group, rows)
+                    return
                 if rows + nxt["bs"] > self.max_rows:
                     carry = nxt  # next cycle; preserves arrival order
                     break
                 group.append(nxt)
                 rows += nxt["bs"]
             self._dispatch(group, rows)
-
-    def _row_mult_for(self, name, arr, rows):
-        if self.model._row_mult is not None:
-            return self.model._row_mult.get(name)
-        lead = arr.shape[0] if arr.ndim else 0
-        return lead // rows if rows and lead % rows == 0 else None
 
     def _dispatch(self, group, rows):
         try:
@@ -315,19 +377,23 @@ class BatchingFront:
                 for name in group[0]["arrays"]
             }
             preds = self.model.predict(combined)
-        except Exception as exc:  # surface to every waiter in the group
+        except Exception as exc:
+            # every request in the group was already validated — a failure
+            # here is a SERVER fault (device execution, bundle mismatch, or
+            # a group-mate interaction). Surface it as ServerFault so an
+            # innocent coalesced client gets a 5xx, never a 400 carrying
+            # another client's error text.
+            fault = ServerFault(f"batched execution failed: {exc}")
             for g in group:
-                g["error"] = exc
+                g["error"] = fault
                 g["event"].set()
             return
         offset = 0
         for g in group:
             out = {}
             for name, arr in preds.items():
-                k = self._row_mult_for(name, arr, rows)
-                out[name] = (
-                    arr[k * offset : k * (offset + g["bs"])] if k else arr
-                )
+                k = self.model._row_mult[name]  # all non-null (see __init__)
+                out[name] = arr[k * offset : k * (offset + g["bs"])]
             g["result"] = out
             g["event"].set()
             offset += g["bs"]
@@ -370,7 +436,13 @@ def make_server(model: ServingModel, port: int, batch_window_ms: float = 0.0):
 
     ``batch_window_ms > 0`` enables request micro-batching: concurrent
     requests arriving within the window are coalesced into one device
-    execution (:class:`BatchingFront`)."""
+    execution (:class:`BatchingFront`; raises ValueError for bundles whose
+    outputs are not all per-row — coalescing those would leak values across
+    requests). ``server_close()`` also stops the batching dispatcher.
+
+    Error taxonomy: client-input problems (bad npz, wrong names/dtypes/
+    shapes — ValueError) -> 400; dispatcher deadline -> 503; any other
+    failure is a server fault -> 500."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     front = BatchingFront(model, batch_window_ms) if batch_window_ms > 0 else None
@@ -426,13 +498,33 @@ def make_server(model: ServingModel, port: int, batch_window_ms: float = 0.0):
             try:
                 with np.load(io.BytesIO(body)) as data:
                     batch = {k: data[k] for k in data.files}
+            except Exception as exc:  # malformed body is the client's fault
+                self._send(400, f"invalid npz body: {exc}".encode(), "text/plain")
+                return
+            try:
                 preds = run(batch)
-            except Exception as exc:  # surface shape/dtype errors to caller
+            except ValueError as exc:  # shape/dtype/name validation
                 self._send(400, str(exc).encode(), "text/plain")
+                return
+            except DispatcherTimeout as exc:
+                self._send(503, str(exc).encode(), "text/plain")
+                return
+            except Exception as exc:
+                # server-side fault (ServerFault from a coalesced group,
+                # device execution error, bundle mismatch): never a 4xx
+                self._send(500, str(exc).encode(), "text/plain")
                 return
             self._send(200, _npz_bytes(preds), "application/octet-stream")
 
-    return ThreadingHTTPServer(("", port), Handler)
+    class Server(ThreadingHTTPServer):
+        batching_front = front  # exposed for tests / embedding
+
+        def server_close(self):
+            if front is not None:
+                front.close()
+            super().server_close()
+
+    return Server(("", port), Handler)
 
 
 def bench(model: ServingModel, iters: int) -> Dict:

@@ -9,6 +9,15 @@ input-bound (on this single-CPU dev host it will not; production hosts have
 dozens of cores and the loader threads scale with them).
 
 Usage: python benchmarks/loader_bench.py [num_workers] [batches]
+       python benchmarks/loader_bench.py --sweep [batches]
+
+``--sweep`` measures thread-count SCALING (1, 2, 4, ... up to 2x cores):
+the ready-to-run receipt for the production-host sizing quoted in PERF.md.
+That sizing ("~11 decode threads/chip train, ~60 eval") is a LINEAR
+extrapolation from a 1-thread measurement on this 1-core dev host — run
+the sweep on the first multi-core host to replace the projection with a
+measured curve (decode is cv2/libjpeg-bound and releases the GIL in the
+native decoder, so near-linear scaling is expected but unproven here).
 """
 
 import os
@@ -19,8 +28,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        cores = os.cpu_count() or 1
+        sweep = []
+        w = 1
+        while w <= 2 * cores:
+            sweep.append(w)
+            w *= 2
+        for workers in sweep:
+            run_once(workers, batches)
+        return
     num_workers = int(sys.argv[1]) if len(sys.argv) > 1 else os.cpu_count() or 4
     max_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    run_once(num_workers, max_batches)
+
+
+def run_once(num_workers: int, max_batches: int):
 
     import json
 

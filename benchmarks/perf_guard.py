@@ -31,6 +31,9 @@ TOLERANCE = 0.95  # fail below 95% of the best recorded value
 BENCHMARKS = [
     [sys.executable, os.path.join(ROOT, "bench.py")],
     [sys.executable, os.path.join(ROOT, "benchmarks", "train_bench.py")],
+    # serving latency (device-only execution metric — tunnel-stable; the
+    # JSON also carries the e2e + micro-batch A/B receipt fields)
+    [sys.executable, os.path.join(ROOT, "benchmarks", "serve_bench.py")],
 ]
 
 

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Serving latency receipt + micro-batching A/B (VERDICT r4 item 5).
+
+Exports (or reuses) a flagship-shaped bundle (tri-modal MHA, 25 segments,
+batch 4 with a b=1 bucket), then measures on the current device:
+
+  1. DEVICE-ONLY serve execution (pre-staged buffers through the compiled
+     b=1 module, chained iterations): the ledger metric — stable on the
+     tunnel, where end-to-end numbers are dominated by 5-9.5 MB/s H2D
+     jitter (ROUND_NOTES r4).
+  2. End-to-end ``ServingModel.predict`` p50/p95 for a 1-clip request
+     (informational: includes H2D; on this host the tunnel dominates).
+  3. Micro-batching A/B: N concurrent 1-clip clients, BatchingFront
+     window ON vs sequential predicts — the coalescing receipt. On a
+     PCIe host the ON side converts N executions into one; on the tunnel
+     the shared H2D masks most of it, so the receipt records both the
+     wall times and the per-execution count.
+
+Last stdout line is the perf_guard ledger JSON
+(metric=serve_exec_clips_per_sec).
+
+Usage: python benchmarks/serve_bench.py [--bundle DIR] [--iters N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEFAULT_BUNDLE = "/tmp/tbn_serve_bench_bundle"
+
+
+def ensure_bundle(bundle_dir: str) -> str:
+    if os.path.exists(os.path.join(bundle_dir, "manifest.json")):
+        return bundle_dir
+    from attention_based_tbn_tpu.config import load_config
+    from attention_based_tbn_tpu.tools.export import export_inference
+
+    cfg = load_config(
+        overrides=[
+            "model.pretrained=False",
+            "model.attention.enable=True",
+            "model.attention.type=mha",
+            "tpu.compute_dtype=bfloat16",
+            f"out_dir={bundle_dir}",
+        ]
+    )
+    export_inference(
+        cfg,
+        ["RGB", "Flow", "Audio"],
+        batch_size=4,
+        num_segments=25,
+        batch_buckets=[1],
+        out_dir=bundle_dir,
+    )
+    return bundle_dir
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bundle", default=DEFAULT_BUNDLE)
+    parser.add_argument("--iters", type=int, default=16)
+    parser.add_argument("--clients", type=int, default=3)
+    args = parser.parse_args()
+
+    from attention_based_tbn_tpu.tools.serve import (
+        BatchingFront,
+        ServingModel,
+        _execute,
+    )
+
+    bundle = ensure_bundle(args.bundle)
+    sm = ServingModel(bundle)
+
+    one = {k: v[:1] for k, v in sm.example_batch(seed=0).items()}
+    sm.predict(one)  # warm: compiles + settles the b=1 bucket
+
+    # ---- 1. device-only execution through the b=1 module --------------
+    leaves, (true_bs, bucket) = sm._check(one)
+    bufs = sm._param_bufs + [
+        sm._client.buffer_from_pyval(a, sm._device) for a in leaves
+    ]
+    exe = sm._executables[bucket]
+    _ = [np.asarray(o) for o in _execute(exe, bufs)]  # settle
+    times = []
+    for _i in range(args.iters):
+        start = time.perf_counter()
+        outs = _execute(exe, bufs)
+        np.asarray(outs[0])  # force completion with one readback
+        times.append(time.perf_counter() - start)
+    times.sort()
+    exec_p50 = times[len(times) // 2]
+
+    # ---- 2. end-to-end predict (H2D included) --------------------------
+    e2e = []
+    for _i in range(max(4, args.iters // 2)):
+        start = time.perf_counter()
+        sm.predict(one)
+        e2e.append(time.perf_counter() - start)
+    e2e.sort()
+
+    # ---- 3. micro-batch A/B: N concurrent 1-clip clients ---------------
+    clients = [
+        {k: v[:1] for k, v in sm.example_batch(seed=10 + s).items()}
+        for s in range(args.clients)
+    ]
+    sm.predict(clients[0])  # ensure the coalesced bucket (b=4) is compiled
+    sm.predict({k: np.repeat(v, 4, axis=0) for k, v in clients[0].items()})
+
+    def run_group(submit):
+        errs = []
+
+        def worker(i):
+            try:
+                submit(clients[i])
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(clients))
+        ]
+        start = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        return time.perf_counter() - start
+
+    run_group(sm.predict)  # warm both paths' caches
+    t_seq = min(run_group(sm.predict) for _ in range(3))
+    front = BatchingFront(sm, window_ms=25.0)
+    try:
+        run_group(front.submit)
+        t_coal = min(run_group(front.submit) for _ in range(3))
+    finally:
+        front.close()
+
+    report = {
+        "bundle": bundle,
+        "device": sm.platform,
+        "exec_p50_ms": round(exec_p50 * 1e3, 2),
+        "e2e_p50_ms": round(e2e[len(e2e) // 2] * 1e3, 2),
+        "e2e_p95_ms": round(e2e[int(len(e2e) * 0.95)] * 1e3, 2),
+        "micro_batch": {
+            "clients": args.clients,
+            "sequential_wall_ms": round(t_seq * 1e3, 2),
+            "coalesced_wall_ms": round(t_coal * 1e3, 2),
+            "speedup": round(t_seq / t_coal, 3),
+        },
+    }
+    print(json.dumps(report), flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "serve_exec_clips_per_sec",
+                "value": round(1.0 / exec_p50, 2),
+                "unit": "clips/s",
+                "scope": "device-only b=1 execution (pre-staged buffers)",
+                "batch_size": 1,
+                **{k: report[k] for k in ("exec_p50_ms", "e2e_p50_ms")},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,79 @@ def test_bf16_output_dtype_and_finite():
     # public logits are fp32 even in bf16 compute mode
     assert out["verb"].dtype == jnp.float32
     assert np.isfinite(np.asarray(out["verb"], np.float32)).all()
+
+
+@pytest.mark.slow
+def test_bf16_drift_on_trained_weights(tmp_path):
+    """VERDICT r4 item 4: the random-weight measurements above are the
+    argmax-agreement WORST CASE (random logits cluster within ~1 logit, so
+    bf16 noise flips argmaxes freely); trained, separated logits must
+    agree harder. This trains our side with the convergence harness's
+    matched recipe on the Bayes-limited fixture (ours-only — no torch
+    oracle needed for a dtype differential), then measures fp32-vs-bf16
+    drift on the val split with the CONVERGED weights and asserts the
+    tightening: top-1 agreement >= 0.97 (vs the 0.95 random-weight floor)
+    while the rel-RMSE stays inside the same 0.04 bound."""
+    import sys
+
+    sys.path.insert(0, str(__import__("os").path.dirname(__file__)))
+    import test_convergence_differential as conv
+
+    root = str(tmp_path / "fixture")
+    train_vids, val_vids = conv.generate_fixture(root)
+
+    run = dict(conv.RUNS["unimodal"])  # bimodal slice: cheap, still the
+    run["epochs"] = 8                  # full tower+attention stack
+    run["lr_steps"] = [6]
+    model32, state, cfg = conv.train_ours_only(
+        (root, train_vids, val_vids), seed=0, attention_type="mha", run=run
+    )
+
+    from attention_based_tbn_tpu.data.dataset import VideoDataset
+
+    ds_val = VideoDataset(
+        cfg, val_vids, "annotations/epic_train_val.csv", run["modality"],
+        mode="val",
+    )
+
+    spec16 = dataclasses.replace(model32.spec, compute_dtype="bfloat16")
+    model16 = TBNModel(spec16)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    f32 = jax.jit(lambda v, b: model32.apply(v, b, train=False))
+    f16 = jax.jit(lambda v, b: model16.apply(v, b, train=False))
+
+    agree, total, correct32, correct16 = 0, 0, 0, 0
+    worst = {}
+    val_batch = 6
+    for start in range(0, len(ds_val), val_batch):
+        samples = [ds_val.sample(i) for i in range(start, start + val_batch)]
+        raw, verbs, nouns = conv.collate(samples, run["modality"])
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        out32, out16 = f32(variables, batch), f16(variables, batch)
+        for head, labels in (("verb", verbs), ("noun", nouns)):
+            a = np.asarray(out32[head], np.float32)
+            b = np.asarray(out16[head], np.float32)
+            rel = np.sqrt(np.mean((a - b) ** 2)) / (
+                np.sqrt(np.mean(a**2)) + 1e-12
+            )
+            worst[head] = max(worst.get(head, 0.0), float(rel))
+            agree += int((a.argmax(-1) == b.argmax(-1)).sum())
+            total += a.shape[0]
+            correct32 += int((a.argmax(-1) == labels).sum())
+            correct16 += int((b.argmax(-1) == labels).sum())
+
+    print(
+        f"[bf16 trained] worst rel-RMSE "
+        f"{ {h: round(r, 5) for h, r in worst.items()} }, top-1 agreement "
+        f"{agree}/{total} = {agree / total:.3f}, val acc fp32 "
+        f"{correct32 / total:.3f} vs bf16 {correct16 / total:.3f}"
+    )
+    # the model actually learned — this is drift on TRAINED weights
+    assert correct32 / total >= 0.40, correct32 / total
+    for head, rel in worst.items():
+        assert rel < REL_RMSE_BOUND, (head, rel)
+    # the tightening the random-weight analysis predicts: separated logits
+    # agree harder than the 0.95 random-weight floor
+    assert agree / total >= 0.97, (agree, total)
+    # and bf16 costs no accuracy beyond binomial noise on this val set
+    assert abs(correct32 - correct16) / total <= 0.03

@@ -156,3 +156,72 @@ def test_export_int8_serving_mode(tmp_path):
         # drift bounded well below the logit spread; ranking preserved
         assert np.max(np.abs(r - g)) < 0.05 * (np.std(r) + 1e-6) + 0.05
         np.testing.assert_array_equal(r.argmax(-1), g.argmax(-1))
+
+
+def test_output_row_multipliers_verified_batch_invariant(tmp_path):
+    """Advisor r4: a global output whose leading dim is coincidentally a
+    multiple of the batch (ALWAYS true at batch_size=1) must be declared
+    null, not per-row — the manifest is the serving source of truth for
+    trimming/splitting. _output_row_multipliers verifies linear scaling
+    with a second abstract trace instead of guessing from divisibility."""
+    import jax
+    import jax.numpy as jnp
+
+    from attention_based_tbn_tpu.tools.export import (
+        _example_batch,
+        _output_row_multipliers,
+    )
+
+    cfg = load_config(
+        overrides=[
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+        ]
+    )
+    batch_size, n_seg = 1, 2
+
+    def forward(variables, batch):
+        b = batch["RGB"].shape[0]
+        return {
+            "verb": jnp.zeros((b, 5)),  # per-row, k=1
+            "weights": jnp.zeros((b * n_seg, 4)),  # per-row, k=n_seg
+            "global_stat": jnp.zeros((1, 3)),  # lead 1 divides b=1!
+            "scalar": jnp.zeros(()),  # no leading dim at all
+        }
+
+    batch = _example_batch(cfg, ["RGB"], batch_size, n_seg)
+    out_struct = jax.eval_shape(forward, {}, batch)
+    names = [
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(out_struct)[0]
+    ]
+    mults = _output_row_multipliers(
+        forward, {}, cfg, ["RGB"], batch_size, n_seg, names, out_struct
+    )
+    assert mults == {
+        "global_stat": None,  # the divisibility heuristic would say 1
+        "scalar": None,
+        "verb": 1,
+        "weights": n_seg,
+    }
+
+
+def test_exported_manifest_multipliers_all_per_row(tmp_path):
+    """The flagship export's outputs are all per-row, so the verified
+    multipliers enable serving-side trimming AND micro-batch coalescing
+    (tools/serve.BatchingFront requires no nulls)."""
+    cfg = load_config(
+        overrides=[
+            "model.attention.enable=False",
+            "model.pretrained=False",
+            "data.test_crop_size=64",
+            "data.audio.audio_length=1.279",
+            "model.num_classes={verb: 3, noun: 4}",
+            f"out_dir={tmp_path}",
+        ]
+    )
+    paths = export_inference(cfg, ["RGB"], batch_size=2, num_segments=2)
+    manifest = json.load(open(paths["manifest"]))
+    mults = manifest["output_row_multipliers"]
+    assert mults and all(v is not None for v in mults.values())

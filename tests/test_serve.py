@@ -587,3 +587,146 @@ def test_ragged_batch_trims_folded_weights(bundle_mha):
     bad["Audio"] = bad["Audio"][:1]
     with pytest.raises(ValueError, match="!= 1 of the other inputs|batch"):
         sm.predict(bad)
+
+
+class TestServeHardening:
+    """Round-5 advisor items: error taxonomy (4xx client / 5xx server),
+    dispatcher timeout + shutdown, and the null-multiplier coalescing
+    refusal (tools/serve.py ServerFault/DispatcherTimeout/close)."""
+
+    @pytest.fixture()
+    def sm(self, bundle):
+        import os
+
+        from attention_based_tbn_tpu.tools.serve import ServingModel
+
+        paths, *_ = bundle
+        return ServingModel(os.path.dirname(paths["manifest"]))
+
+    def test_close_stops_dispatcher_and_is_idempotent(self, sm):
+        from attention_based_tbn_tpu.tools.serve import BatchingFront, ServerFault
+
+        front = BatchingFront(sm, window_ms=1.0)
+        assert front._thread.is_alive()
+        front.close()
+        front._thread.join(timeout=10)
+        assert not front._thread.is_alive()
+        front.close()  # idempotent
+        good = {k: v[:1] for k, v in sm.example_batch(seed=1).items()}
+        with pytest.raises(ServerFault, match="closed"):
+            front.submit(good)
+
+    def test_submit_timeout_raises_dispatcher_timeout(self, sm):
+        from attention_based_tbn_tpu.tools.serve import (
+            BatchingFront,
+            DispatcherTimeout,
+        )
+
+        front = BatchingFront(sm, window_ms=1.0, submit_timeout_s=0.3)
+        orig = sm.predict
+        release = threading.Event()
+
+        def wedged(batch):
+            release.wait(20)  # simulate a stuck device call
+            return orig(batch)
+
+        sm.predict = wedged
+        try:
+            good = {k: v[:1] for k, v in sm.example_batch(seed=2).items()}
+            with pytest.raises(DispatcherTimeout, match="within"):
+                front.submit(good)
+        finally:
+            release.set()
+            sm.predict = orig
+            front.close()
+
+    def test_refuses_bundle_with_null_multiplier(self, sm):
+        from attention_based_tbn_tpu.tools.serve import BatchingFront
+
+        mults = dict(sm._row_mult)
+        first = sorted(mults)[0]
+        sm._row_mult = {**mults, first: None}
+        with pytest.raises(ValueError, match="coalescable"):
+            BatchingFront(sm, window_ms=1.0)
+        sm._row_mult = None  # legacy manifest without the field
+        with pytest.raises(ValueError, match="coalescable"):
+            BatchingFront(sm, window_ms=1.0)
+        sm._row_mult = mults
+
+    def test_group_fault_is_server_fault_not_value_error(self, sm):
+        """An execution failure inside a coalesced group must surface as
+        ServerFault (-> 5xx) to every waiter, never as the 4xx taxonomy."""
+        from attention_based_tbn_tpu.tools.serve import BatchingFront, ServerFault
+
+        front = BatchingFront(sm, window_ms=1.0)
+        orig = sm.predict
+
+        def boom(batch):
+            raise RuntimeError("device fell over")
+
+        sm.predict = boom
+        try:
+            reqs = []
+            for s in (41, 42):
+                batch = {k: v[:1] for k, v in sm.example_batch(seed=s).items()}
+                arrays, bs = sm._validate(batch)
+                reqs.append(
+                    {
+                        "arrays": arrays,
+                        "bs": bs,
+                        "event": threading.Event(),
+                        "result": None,
+                        "error": None,
+                    }
+                )
+            front._dispatch(reqs, rows=2)
+            for req in reqs:
+                assert req["event"].is_set()
+                assert isinstance(req["error"], ServerFault)
+                assert not isinstance(req["error"], ValueError)
+                assert "device fell over" in str(req["error"])
+        finally:
+            sm.predict = orig
+            front.close()
+
+    def test_http_server_fault_maps_to_500(self, sm):
+        import urllib.error
+        import urllib.request
+
+        from attention_based_tbn_tpu.tools.serve import _npz_bytes, make_server
+
+        orig = sm.predict
+
+        def boom(batch):
+            raise RuntimeError("internal execution failure")
+
+        # patch BEFORE make_server: the handler binds model.predict at
+        # server construction
+        sm.predict = boom
+        server = make_server(sm, 0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=_npz_bytes(sm.example_batch(seed=3)),
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(req, timeout=60)
+            assert err.value.code == 500
+            assert "internal execution failure" in err.value.read().decode()
+        finally:
+            sm.predict = orig
+            server.shutdown()
+            server.server_close()
+
+    def test_server_close_stops_batching_front(self, sm):
+        from attention_based_tbn_tpu.tools.serve import make_server
+
+        server = make_server(sm, 0, batch_window_ms=5.0)
+        front = server.batching_front
+        assert front is not None and front._thread.is_alive()
+        server.server_close()
+        front._thread.join(timeout=10)
+        assert not front._thread.is_alive()
