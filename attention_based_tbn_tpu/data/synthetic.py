@@ -41,6 +41,7 @@ def generate(
     audio_prefix: str = "audio",
     learnable: bool = False,
     class_jitter: float = 0.0,
+    noun_jitter: Optional[float] = None,
 ) -> List[str]:
     """Create the fixture tree under ``root``; returns the video id list.
 
@@ -66,6 +67,13 @@ def generate(
     identical to the pre-jitter ``learnable=True`` output. With jitter on,
     flow frames inside action spans also carry the (jittered) verb signal
     so the Flow tower has something to learn.
+
+    ``noun_jitter`` overrides the NOUN signal's sigma (default: same as
+    ``class_jitter``). The noun signal is per-VIDEO (one audio tone per
+    video), so a small fixture trains the noun boundary on only n_videos
+    points — a gentler noun sigma keeps the per-video boundary variance
+    (and the confident-wrong CE tail it causes) bounded while the
+    per-action verb signal carries the full difficulty.
 
     ``learnable=False`` keeps the original content (random labels), byte
     identical to earlier revisions for the differential replay tests.
@@ -93,7 +101,8 @@ def generate(
         span = frames_per_video // actions_per_video
         if learnable:
             vid_noun = v_idx % num_nouns
-            noun_jit = float(jrng.normal(0.0, class_jitter)) if jrng is not None else 0.0
+            noun_sigma = class_jitter if noun_jitter is None else noun_jitter
+            noun_jit = float(jrng.normal(0.0, noun_sigma)) if jrng is not None else 0.0
             spans = []
             for a in range(actions_per_video):
                 verb_jit = (

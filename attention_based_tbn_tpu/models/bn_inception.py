@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.fused_stem import fused_stem_pallas, pack_kernel_jnp
 from ..ops.pooling import (
     _pool_via_slices,
     avg_pool2d,
@@ -511,6 +512,14 @@ class BNInception(nn.Module):
     # — it reads uint8 input and runs at HBM bandwidth, so the int8 MXU
     # path buys nothing there (PERF.md).
     quantize: str = ""
+    # Fused Pallas inference stem: normalize+conv7x7/2+BN-fold+ReLU+
+    # ceil-pool in one VMEM-resident kernel (ops/fused_stem.py), skipping
+    # the conv activation's HBM round trip into the pool. Eval-only, 7x7
+    # stem only, requires H and W divisible by 4; A/B receipt in
+    # benchmarks/fused_stem_probe.py + PERF.md round 5 (tpu.fused_stem).
+    fused_stem: bool = False
+    # Run the fused stem in Pallas interpret mode (CPU tests only).
+    fused_stem_interpret: bool = False
 
     feature_size: int = FEATURE_SIZE
 
@@ -537,6 +546,7 @@ class BNInception(nn.Module):
         kw = dict(dtype=self.dtype)
         bn_kw = dict(train=train, row_mask=row_mask)
 
+        use_fused = False
         if self.audio_stem:
             if input_scale is not None:
                 x = x.astype(self.dtype) * input_scale.astype(
@@ -549,24 +559,54 @@ class BNInception(nn.Module):
             b = ConvBN(32, (1, 3), 2, (0, 1), name="conv1_3x1_s2", **kw)(x, **bn_kw)
             y = jnp.concatenate([a, b], axis=-1)
         else:
-            # column-packed stem: exact 7x7/2 rewrite that keeps the MXU
-            # busy despite the 1-10 input channels (see TorchConv)
-            y = ConvBN(
-                64,
-                7,
-                2,
-                3,
-                name="conv1_7x7_s2",
-                space_to_depth=not self.direct_stem,
-                **kw,
-            )(
-                x,
-                input_scale=input_scale,
-                input_offset=input_offset,
-                input_packed=input_packed,
-                **bn_kw,
+            in_ch = x.shape[-1] // 2 if input_packed else x.shape[-1]
+            use_fused = (
+                self.fused_stem
+                and not train
+                and not self.quantize
+                and x.shape[1] % 4 == 0
+                and (x.shape[2] * (2 if input_packed else 1)) % 4 == 0
             )
-        y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
+            if use_fused:
+                # fused Pallas stem+pool: FoldedConvBN declares the exact
+                # same parameter tree as the ConvBN cell below, so the two
+                # interchange per call-site (layers.py)
+                k, b = FoldedConvBN(64, 7, name="conv1_7x7_s2")(in_ch)
+                if input_scale is None:
+                    sc = jnp.ones((in_ch,), jnp.float32)
+                    off = jnp.zeros((in_ch,), jnp.float32)
+                else:
+                    sc, off = input_scale, input_offset
+                y = fused_stem_pallas(
+                    x,
+                    pack_kernel_jnp(k).astype(self.dtype),
+                    b,
+                    sc,
+                    off,
+                    dtype=self.dtype,
+                    input_packed=input_packed,
+                    interpret=self.fused_stem_interpret,
+                )
+            else:
+                # column-packed stem: exact 7x7/2 rewrite that keeps the
+                # MXU busy despite the 1-10 input channels (see TorchConv)
+                y = ConvBN(
+                    64,
+                    7,
+                    2,
+                    3,
+                    name="conv1_7x7_s2",
+                    space_to_depth=not self.direct_stem,
+                    **kw,
+                )(
+                    x,
+                    input_scale=input_scale,
+                    input_offset=input_offset,
+                    input_packed=input_packed,
+                    **bn_kw,
+                )
+        if not use_fused:  # the fused kernel already applied pool1
+            y = max_pool2d(y, 3, 2, 0, ceil_mode=True, impl=self.pool_impl, fast_vjp=self.pool_fast_vjp)
         y = ConvBN(64, 1, name="conv2_3x3_reduce", quantize=self.quantize, **kw)(
             y, **bn_kw
         )

@@ -121,6 +121,10 @@ class TBNSpec:
     # select-and-scatter gradient; forward identical — see
     # ops/pooling._max_pool_fast_vjp, incl. the tie-gradient divergence).
     pool_fast_vjp: bool = False
+    # Fused Pallas inference stem (conv+BN-fold+ReLU+pool in one VMEM
+    # pass, ops/fused_stem.py). TPU eval only; A/B receipt in
+    # benchmarks/fused_stem_probe.py.
+    fused_stem: bool = False
     # Rematerialize tower activations in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for large activation-memory savings, enabling
     # bigger train batches.
@@ -182,6 +186,7 @@ class TBNSpec:
                 cfg.get_path("tpu.pool_impl", "reduce_window") or "reduce_window"
             ),
             pool_fast_vjp=bool(cfg.get_path("tpu.pool_fast_vjp", False)),
+            fused_stem=bool(cfg.get_path("tpu.fused_stem", False)),
             fast_consensus=bool(cfg.get_path("tpu.fast_consensus", False)),
             remat=bool(cfg.get_path("tpu.remat", False)),
             quantize=str(cfg.get_path("tpu.quantize", "") or ""),
@@ -282,6 +287,9 @@ class TBNModel(nn.Module):
                 pool_impl=self.spec.pool_impl,
                 pool_fast_vjp=self.spec.pool_fast_vjp,
                 quantize=self.spec.quantize,
+                # TPU-only like the attention kernels (pallas_active)
+                fused_stem=self.spec.fused_stem
+                and jax.default_backend() == "tpu",
                 dtype=dtype,
             )
         elif self.spec.arch == "resnet":

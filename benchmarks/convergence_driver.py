@@ -43,6 +43,11 @@ def main():
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--fixture", default=None, help="reuse a fixture dir")
+    parser.add_argument(
+        "--save", default=None,
+        help="dump the full {curves, final} dict to this JSON path "
+        "(combinable into the results/ archive format)",
+    )
     args = parser.parse_args()
 
     import test_convergence_differential as conv
@@ -62,14 +67,17 @@ def main():
         train_vids, val_vids = conv.generate_fixture(root)
         open(marker, "w").write("ok")
         print(f"fixture generated in {time.time()-t0:.0f}s at {root}", flush=True)
-    train_vids = [f"P{i:02d}_01" for i in range(1, 13)]
-    val_vids = [f"P{i:02d}_02" for i in range(1, 13)]
+    train_vids, val_vids = conv.fixture_video_lists()
 
     t0 = time.time()
     curves, final = conv.run_convergence(
         (root, train_vids, val_vids), args.seed, args.type, run
     )
     wall = time.time() - t0
+    if args.save:
+        with open(args.save, "w") as fh:
+            json.dump({"curves": curves, "final": final, "type": args.type,
+                       "seed": args.seed, "wall_sec": round(wall, 1)}, fh)
     out = {
         "type": args.type,
         "seed": args.seed,

@@ -19,7 +19,12 @@ per-call dispatch over the tunneled TPU swamps single-op timings):
 
 Verdict and integration decision recorded in PERF.md round 5.
 
-Usage: python benchmarks/fused_stem_probe.py [iters]
+Usage: python benchmarks/fused_stem_probe.py [iters] [--shapes rgb,flow]
+       [--paths xla,pallas]
+
+(The filters exist because the tunnel's remote compile cache is
+per-process — re-running everything re-pays ~3-8 min per chained
+program; iterate the pallas side alone while developing.)
 """
 
 import json
@@ -55,7 +60,16 @@ def measure(fn, args, iters):
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("iters", nargs="?", type=int, default=12)
+    parser.add_argument("--shapes", default="rgb,flow,audio")
+    parser.add_argument("--paths", default="xla,pallas")
+    cli = parser.parse_args()
+    iters = cli.iters
+    want_shapes = set(cli.shapes.split(","))
+    want_paths = set(cli.paths.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -78,6 +92,8 @@ def main():
     results = {}
 
     for name, h, w, c, in_dtype in shapes:
+        if name not in want_shapes:
+            continue
         if in_dtype == np.uint8:
             x = rng.integers(0, 255, (B, h, w, c)).astype(np.uint8)
             scale = np.full(c, 1 / 255.0, np.float32)
@@ -108,7 +124,10 @@ def main():
             y = jax.nn.relu(y + b.astype(y.dtype))
             return max_pool2d(y, 3, 2, 0, ceil_mode=True)
 
-        t_xla = measure(xla_stem, (xj, kp, bj, sj, oj), iters)
+        t_xla = None
+        if "xla" in want_paths:
+            t_xla = measure(xla_stem, (xj, kp, bj, sj, oj), iters)
+            print(json.dumps({name: {"xla_ms": round(t_xla * 1e3, 3)}}), flush=True)
 
         # --- B: fused Pallas kernel, bf16 -------------------------------
         def pallas_stem(xin, kpk, b, s, o):
@@ -117,9 +136,15 @@ def main():
                 dtype=jnp.bfloat16,
             )
 
-        t_pal = measure(pallas_stem, (xj, kp, bj, sj, oj), iters)
+        t_pal = None
+        if "pallas" in want_paths:
+            t_pal = measure(pallas_stem, (xj, kp, bj, sj, oj), iters)
+            print(json.dumps({name: {"pallas_ms": round(t_pal * 1e3, 3)}}), flush=True)
 
         # correctness spot check on the chip (bf16 tolerance)
+        if "pallas" not in want_paths:
+            results[name] = {"xla_ms": round(t_xla * 1e3, 3)}
+            continue
         want = np.asarray(
             fused_stem_reference(xj, jnp.asarray(kernel), bj,
                                  jnp.asarray(scale), jnp.asarray(offset),
@@ -137,28 +162,28 @@ def main():
         )
 
         results[name] = {
-            "xla_ms": round(t_xla * 1e3, 3),
             "pallas_ms": round(t_pal * 1e3, 3),
-            "speedup": round(t_xla / t_pal, 3),
             "rel_rmse_vs_ref": round(rel, 5),
         }
+        if t_xla is not None:
+            results[name]["xla_ms"] = round(t_xla * 1e3, 3)
+            results[name]["speedup"] = round(t_xla / t_pal, 3)
         print(json.dumps({name: results[name]}), flush=True)
 
-    total_xla = sum(r["xla_ms"] for r in results.values())
-    total_pal = sum(r["pallas_ms"] for r in results.values())
-    print(
-        json.dumps(
-            {
-                "probe": "fused_stem",
-                "batch": B,
-                "iters": iters,
-                "total_xla_ms": round(total_xla, 3),
-                "total_pallas_ms": round(total_pal, 3),
-                "verdict": "pallas wins" if total_pal < total_xla else "xla wins",
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    summary = {
+        "probe": "fused_stem",
+        "batch": B,
+        "iters": iters,
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+    if all("xla_ms" in r and "pallas_ms" in r for r in results.values()) and results:
+        total_xla = sum(r["xla_ms"] for r in results.values())
+        total_pal = sum(r["pallas_ms"] for r in results.values())
+        summary["total_xla_ms"] = round(total_xla, 3)
+        summary["total_pallas_ms"] = round(total_pal, 3)
+        summary["verdict"] = "pallas wins" if total_pal < total_xla else "xla wins"
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

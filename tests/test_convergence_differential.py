@@ -82,7 +82,12 @@ pytestmark = wmp.pytestmark
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NUM_VERBS, NUM_NOUNS = 5, 6
-CLASS_JITTER = 0.55  # class-step sigma -> Bayes top-1 ~0.7 (see synthetic.py)
+CLASS_JITTER = 0.55  # verb sigma (per action) -> Bayes top-1 ~0.7
+# nouns are per-VIDEO (12 training points): a gentler sigma keeps the
+# learned boundary's variance — and the confident-wrong CE tail — bounded
+# so the cross-framework agreement is framework-driven, not
+# 12-point-sample-driven (see synthetic.generate noun_jitter)
+NOUN_JITTER = 0.40
 SEGMENTS = 3
 LR, MOMENTUM, CLIP = 0.01, 0.9, 20.0
 LR_GAMMA = 0.1
@@ -97,13 +102,18 @@ RUNS = {
         modality=("RGB", "Flow", "Audio"),
         default_graph=True,  # pretrainedmodels 7x7-stem graph, all towers
         accumulator_step=4,
-        batch=6,
+        # batch 3 -> 20 micro-batches/epoch: the reference loop's
+        # as-written zero/step phasing (train.py:69-99) applies UNEVEN
+        # update groups around epoch boundaries; with only 10
+        # micro-batches/epoch that artifact dominated the comparison
+        # (torch got 2 updates/epoch incl. a 6-micro-batch group vs our
+        # MultiSteps' uniform 2.5). At 20 micro-batches both sides apply
+        # ~5 updates/epoch and the phasing is a boundary effect again,
+        # as it is at the reference's real epoch sizes.
+        batch=3,
         epochs=14,
         lr_steps=[11],
-        # accum=4 quarters the update count per epoch vs the light slice;
-        # lr scales with the 4x effective batch (calibrated: lr 0.02 at
-        # 4 epochs has both sides mid-descent, converged by ~12-14)
-        lr=0.02,
+        lr=0.015,  # scaled for the effective batch 12 (4 x 3)
         seeds=(0, 1),
     ),
     "unimodal": dict(
@@ -132,12 +142,22 @@ RUNS = {
 # ---------------------------------------------------------------------------
 
 
+def fixture_video_lists():
+    return (
+        [f"P{i:02d}_01" for i in range(1, 13)],
+        [f"P{i:02d}_02" for i in range(1, 25)],
+    )
+
+
 def generate_fixture(root):
-    """Bayes-limited tri-modal fixture: 12 train + 12 val videos x 5
-    actions; every verb/noun class appears in both splits. Shared with
-    test_bf16_drift.py's trained-weights case."""
-    train_vids = [f"P{i:02d}_01" for i in range(1, 13)]
-    val_vids = [f"P{i:02d}_02" for i in range(1, 13)]
+    """Bayes-limited tri-modal fixture: 12 train + 24 val videos x 5
+    actions; every verb/noun class appears in both splits. The val split
+    is 2x the train split because the NOUN signal is per-video (one tone
+    per video, synthetic.py) — noun val accuracy moves in 1/n_videos
+    steps, so 24 videos give 4.2%-granularity noun scores the agreement
+    bound can bite on. Shared with test_bf16_drift.py's trained-weights
+    case."""
+    train_vids, val_vids = fixture_video_lists()
     synthetic.generate(
         root,
         videos=train_vids + val_vids,
@@ -148,6 +168,7 @@ def generate_fixture(root):
         num_nouns=NUM_NOUNS,
         learnable=True,
         class_jitter=CLASS_JITTER,
+        noun_jitter=NOUN_JITTER,
         seed=7,
     )
     return train_vids, val_vids

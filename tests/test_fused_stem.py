@@ -84,3 +84,60 @@ def test_pallas_bf16_close_to_fp32_reference():
     rel = np.sqrt(np.mean((np.asarray(got, np.float32) - np.asarray(want)) ** 2))
     rel /= np.sqrt(np.mean(np.asarray(want) ** 2)) + 1e-12
     assert rel < 0.03, rel
+
+
+def test_tower_fused_stem_matches_standard_eval():
+    """BNInception with fused_stem=True (interpret mode) reproduces the
+    standard eval path's features — same params, same input, pool1 fused
+    into the stem kernel."""
+    from attention_based_tbn_tpu.models.bn_inception import BNInception
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)), jnp.uint8)
+    scale = jnp.asarray(np.full(3, 1 / 255.0, np.float32))
+    offset = jnp.asarray(-np.array([0.408, 0.459, 0.502], np.float32) / 1.0)
+
+    base = BNInception()
+    variables = base.init(
+        {"params": jax.random.PRNGKey(0)},
+        x,
+        train=False,
+        input_scale=scale,
+        input_offset=offset,
+    )
+    want = base.apply(variables, x, train=False, input_scale=scale,
+                      input_offset=offset)
+
+    fused = BNInception(fused_stem=True, fused_stem_interpret=True)
+    got = fused.apply(variables, x, train=False, input_scale=scale,
+                      input_offset=offset)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_tower_fused_stem_ignored_in_train():
+    """fused_stem must not change the training path (live BN needs the
+    XLA stem): train-mode apply works and matches the standard tower."""
+    from attention_based_tbn_tpu.models.bn_inception import BNInception
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)), jnp.uint8)
+    scale = jnp.asarray(np.full(3, 1 / 255.0, np.float32))
+    offset = jnp.asarray(np.full(3, -0.45, np.float32))
+
+    base = BNInception()
+    variables = base.init(
+        {"params": jax.random.PRNGKey(1)}, x, train=False,
+        input_scale=scale, input_offset=offset,
+    )
+    want, want_stats = base.apply(
+        variables, x, train=True, input_scale=scale, input_offset=offset,
+        mutable=["batch_stats"],
+    )
+    fused = BNInception(fused_stem=True, fused_stem_interpret=True)
+    got, got_stats = fused.apply(
+        variables, x, train=True, input_scale=scale, input_offset=offset,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
