@@ -136,7 +136,13 @@ def main():
 
     run_group(sm.predict)  # warm both paths' caches
     t_seq = min(run_group(sm.predict) for _ in range(3))
-    front = BatchingFront(sm, window_ms=25.0)
+    # submit_timeout_s: the 30 s default is a SERVING policy (clients
+    # should get a 503 rather than hang). This bench measures wall times
+    # on a tunnel whose device calls can stall for minutes (ROUND_NOTES
+    # r4: readback jitter, remote-compile hiccups); one such stall inside
+    # the dispatcher would 503 the whole group and kill the receipt, so
+    # the bench waits it out and lets min-of-3 absorb the outlier.
+    front = BatchingFront(sm, window_ms=25.0, submit_timeout_s=600.0)
     try:
         run_group(front.submit)
         t_coal = min(run_group(front.submit) for _ in range(3))
